@@ -1,0 +1,19 @@
+from vipformer_tpu.ops.geometry import (
+    divide_patches,
+    farthest_point_sample,
+    fps,
+    index_points,
+    knn,
+    square_distance,
+    three_nn_interpolate,
+)
+
+__all__ = [
+    "divide_patches",
+    "farthest_point_sample",
+    "fps",
+    "index_points",
+    "knn",
+    "square_distance",
+    "three_nn_interpolate",
+]
