@@ -1,0 +1,217 @@
+"""Golden-shape + parity tests for every model family.
+
+The strongest cross-implementation check: the reference records the probe
+model's exact parameter count (8,490,240 at E1CL8SL-H4D256-L128-MR2,
+`eval_zeroshot.py:31`) — our rebuild must reproduce it to the parameter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipformer_tpu.config import Config, decode_arch_name
+from vipformer_tpu.models import (
+    build_ft_cls,
+    build_ft_partseg,
+    build_ft_semseg,
+    build_model,
+    build_pc_model,
+)
+from vipformer_tpu.utils import param_count
+
+TINY = dict(
+    num_pc_latents=8,
+    num_img_latents=8,
+    num_groups=8,
+    group_size=4,
+    num_latent_channels=32,
+    num_ca_heads=4,
+    num_sa_heads=4,
+    num_sa_layers=2,
+    num_sa_layers_per_block=2,
+    mlp_widen_factor=2,
+    img_height=24,
+    img_width=24,
+    patch_size=12,
+    num_frequency_bands=4,
+    compute_dtype="float32",
+)
+
+
+def tiny_cfg(**kw):
+    d = dict(TINY)
+    d.update(kw)
+    return Config(**d)
+
+
+def init_and_apply(model, *args, train=False):
+    key = jax.random.key(0)
+    variables = model.init(
+        {"params": key, "dropout": key, "fps": key}, *args
+    )
+    if train:
+        out, _ = model.apply(
+            variables,
+            *args,
+            deterministic=False,
+            rngs={"dropout": key, "fps": key},
+            mutable=["batch_stats"],
+        )
+    else:
+        out = model.apply(variables, *args, deterministic=True)
+    return out, variables
+
+
+def test_crossformer_pc_shapes():
+    cfg = tiny_cfg()
+    model = build_pc_model(cfg)
+    pts = jnp.zeros((2, 64, 3))
+    (proj, backbone), variables = init_and_apply(model, pts)
+    assert proj.shape == (2, 32)
+    assert backbone.shape == (2, 64)
+    # train mode with dropout/droppath rngs must also run
+    (proj, backbone), _ = init_and_apply(model, pts, train=True)
+    assert np.isfinite(np.asarray(proj)).all()
+
+
+def test_crossformer_img_shapes():
+    cfg = tiny_cfg()
+    _, img_model = build_model(cfg)
+    imgs = jnp.zeros((2, 24, 24, 3))
+    (proj, backbone), _ = init_and_apply(img_model, imgs)
+    assert proj.shape == (2, 32)
+    assert backbone.shape == (2, 64)
+
+
+def test_ft_cls_shapes():
+    cfg = tiny_cfg(num_obj_classes=15)
+    model = build_ft_cls(cfg)
+    pts = jnp.zeros((2, 64, 3))
+    (logits, backbone), _ = init_and_apply(model, pts)
+    assert logits.shape == (2, 15)
+    assert backbone.shape == (2, 64)
+
+
+def test_ft_partseg_shapes():
+    cfg = tiny_cfg(num_sa_layers=4, layer_idx=(1, 2, 4))
+    model = build_ft_partseg(cfg)
+    pts = jnp.zeros((2, 64, 3))
+    onehot = jnp.zeros((2, 16))
+    logits, _ = init_and_apply(model, pts, onehot)
+    assert logits.shape == (2, 64, 50)
+
+
+def test_ft_semseg_shapes():
+    cfg = tiny_cfg(
+        num_sa_layers=4, layer_idx=(1, 2, 4), point_channels=6,
+        num_obj_classes=13,
+    )
+    model = build_ft_semseg(cfg)
+    pts = jnp.zeros((2, 64, 6))
+    logits, _ = init_and_apply(model, pts)
+    assert logits.shape == (2, 64, 13)
+
+
+def test_generic_perceiver_pc_shapes():
+    cfg = tiny_cfg(mp=False)
+    model = build_pc_model(cfg)
+    pts = jnp.zeros((2, 64, 3))
+    (proj, backbone), _ = init_and_apply(model, pts)
+    assert proj.shape == (2, 32)
+    assert backbone.shape == (2, 64)
+
+
+def test_generic_perceiver_classifier_shapes():
+    cfg = tiny_cfg(mp=False, num_obj_classes=40)
+    model = build_ft_cls(cfg)
+    pts = jnp.zeros((2, 64, 3))
+    (logits, backbone), _ = init_and_apply(model, pts)
+    assert logits.shape == (2, 40)
+
+
+def test_generic_perceiver_img_fourier_shapes():
+    cfg = tiny_cfg(mp=False)
+    from vipformer_tpu.models import build_img_model
+
+    model = build_img_model(cfg)
+    imgs = jnp.zeros((2, 24, 24, 3))
+    (proj, backbone), _ = init_and_apply(model, imgs)
+    assert proj.shape == (2, 32)
+
+
+@pytest.mark.parametrize(
+    "arch,want",
+    [
+        # Verified by instantiating the reference's own CrossFormer_pc_mp
+        # (torch) with identical flags: exact parameter-count parity.
+        # 5,127,040 == the "5.1M" of TABLE I (assets/tab1.png);
+        # 16,654,336 == the "16.7M" of TABLE II. (The 8,490,240 comment at
+        # eval_zeroshot.py:31 belongs to a different, unrecorded flag set.)
+        ("E1CL8SL-H4D256-L128-MR2", 5_127_040),
+        ("E1CL8SL-H6D384-L128-MR4", 16_654_336),
+    ],
+)
+def test_pretrain_model_param_count_parity(arch, want):
+    cfg = Config(compute_dtype="float32", **decode_arch_name(arch))
+    model = build_pc_model(cfg)
+    pts = jnp.zeros((1, 64, 3))  # point count doesn't affect params
+    # eval_shape: abstract init, no compilation/execution
+    variables = jax.eval_shape(
+        lambda k: model.init({"params": k, "fps": k}, pts),
+        jax.random.key(0),
+    )
+    n = param_count(variables["params"])
+    assert n == want, f"param count {n} != {want}"
+
+
+def test_dropout_changes_output_droppath_runs():
+    cfg = tiny_cfg(max_dpr=0.2, atten_drop=0.3, mlp_drop=0.3)
+    model = build_pc_model(cfg)
+    pts = jnp.asarray(np.random.default_rng(0).standard_normal((4, 64, 3)),
+                      dtype=jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, pts)
+    det = model.apply(variables, pts, deterministic=True)[0]
+    r1 = model.apply(
+        variables, pts, deterministic=False,
+        rngs={"dropout": jax.random.key(1)},
+        mutable=["batch_stats"],
+    )[0][0]
+    r2 = model.apply(
+        variables, pts, deterministic=False,
+        rngs={"dropout": jax.random.key(2)},
+        mutable=["batch_stats"],
+    )[0][0]
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+    assert not np.allclose(np.asarray(det), np.asarray(r1))
+
+
+def test_deterministic_apply_is_pure():
+    cfg = tiny_cfg()
+    model = build_pc_model(cfg)
+    pts = jnp.ones((2, 64, 3))
+    variables = model.init({"params": jax.random.key(0)}, pts)
+    a = model.apply(variables, pts)[0]
+    b = model.apply(variables, pts)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ca_weight_sharing_generic_encoder():
+    """first_cross_attention_layer_shared / single-CA-layer sharing must not
+    duplicate parameters (reference core/modules.py:433-441)."""
+    from vipformer_tpu.models.perceiver_models import PerceiverFeatsModel
+
+    model = PerceiverFeatsModel(
+        adapter="pointcloud",
+        num_latents=8,
+        num_latent_channels=32,
+        num_cross_attention_layers=1,
+        num_self_attention_blocks=2,
+        num_self_attention_layers_per_block=1,
+        first_self_attention_block_shared=True,
+    )
+    pts = jnp.zeros((1, 16, 3))
+    variables = model.init({"params": jax.random.key(0)}, pts)
+    names = set(variables["params"]["encoder"].keys())
+    assert "cross_attn_n" in names and "cross_attn_1" not in names
+    assert "self_attn_n" in names and "self_attn_1" not in names

@@ -1,0 +1,116 @@
+"""Patch-embedding and dense-decode blocks (mini-PointNet family).
+
+All 1x1 Conv1d stacks of the reference become Dense layers on channel-last
+layouts — on TPU a kernel-1 conv *is* a matmul, and channel-last keeps the
+contraction on the MXU's lane dimension without transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vipformer_tpu.nn.layers import Dense, batch_norm, layer_norm
+from vipformer_tpu.ops.geometry import three_nn_interpolate
+
+Array = jax.Array
+Dtype = Any
+
+
+class Group2Emb(nn.Module):
+    """Point-BERT style mini-PointNet: local patch -> patch embedding.
+
+    Reference `pointcloud/utils.py:144-189`: per-point conv 3->64->128, patch
+    max-pool, concat [global, local] -> conv 256->256->D, patch max-pool.
+
+    Input [B, G, S, C] -> output [B, G, D]. BatchNorm reduces over
+    (batch, groups, group_size) per channel, matching torch BatchNorm1d on
+    the reference's [B*G, C, S] layout.
+    """
+
+    dim_model: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, point_groups: Array, deterministic: bool = True) -> Array:
+        b, g, s, _ = point_groups.shape
+        x = Dense(64, dtype=self.dtype)(point_groups)
+        x = batch_norm(deterministic, self.dtype)(x)
+        x = jax.nn.relu(x)
+        x = Dense(128, dtype=self.dtype)(x)  # [B, G, S, 128]
+        global_feat = jnp.max(x, axis=2, keepdims=True)  # [B, G, 1, 128]
+        x = jnp.concatenate(
+            [jnp.broadcast_to(global_feat, x.shape), x], axis=-1
+        )  # [B, G, S, 256]
+        x = Dense(256, dtype=self.dtype)(x)
+        x = batch_norm(deterministic, self.dtype)(x)
+        x = jax.nn.relu(x)
+        x = Dense(self.dim_model, dtype=self.dtype)(x)
+        return jnp.max(x, axis=2)  # [B, G, D]
+
+
+class PositionEmb(nn.Module):
+    """Center-coordinate MLP: C -> 128 -> GELU -> D.
+
+    Reference `pointcloud/partseg.py:498-501` (and the point_channels-wide
+    semseg variant, `semseg.py:361-364`).
+    """
+
+    dim_model: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, centers: Array) -> Array:
+        x = Dense(128, dtype=self.dtype)(centers)
+        x = jax.nn.gelu(x, approximate=False)
+        return Dense(self.dim_model, dtype=self.dtype)(x)
+
+
+class FeaturePropagation(nn.Module):
+    """Inverse-distance 3-NN upsampling + per-point MLP.
+
+    Reference `PointNetFeaturePropagation` (`pointcloud/utils.py:192-242`)
+    on channel-last layout: interpolate group features to every point,
+    concat skip features, then Dense/BN/ReLU stack.
+    """
+
+    mlp: Sequence[int]
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        xyz_dst: Array,  # [B, N, 3] target positions
+        xyz_src: Array,  # [B, S, 3] source (group center) positions
+        feats_dst: Optional[Array],  # [B, N, Dd] skip features or None
+        feats_src: Array,  # [B, S, Ds] features to upsample
+        deterministic: bool = True,
+    ) -> Array:
+        x = three_nn_interpolate(xyz_dst, xyz_src, feats_src)
+        if feats_dst is not None:
+            x = jnp.concatenate([feats_dst, x.astype(feats_dst.dtype)], -1)
+        for width in self.mlp:
+            x = Dense(width, dtype=self.dtype)(x)
+            x = batch_norm(deterministic, self.dtype)(x)
+            x = jax.nn.relu(x)
+        return x
+
+
+class PointCloudInputAdapter(nn.Module):
+    """Per-point MLP C -> 64 -> LN -> ReLU -> D.
+
+    Reference `pointcloud/classifier.py:25-50`.
+    """
+
+    num_input_channels: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, pts: Array) -> Array:
+        x = Dense(64, dtype=self.dtype)(pts)
+        x = layer_norm(self.dtype)(x)
+        x = jax.nn.relu(x)
+        return Dense(self.num_input_channels, dtype=self.dtype)(x)
