@@ -46,3 +46,27 @@ def nt_xent_loss(z0: Array, z1: Array, temperature: float = 0.1) -> Array:
     logp = jax.nn.log_softmax(logits, axis=-1)
     pos = jnp.take_along_axis(logp, labels[:, None], axis=-1)
     return -jnp.mean(pos)
+
+
+def nt_xent_grouped(
+    z0: Array, z1: Array, num_groups: int, temperature: float = 0.1
+) -> Array:
+    """NT-Xent with negatives restricted to contiguous batch groups.
+
+    With `num_groups` equal to the data-axis size and the batch laid out
+    shard-contiguously, this reproduces the reference's per-rank-negatives
+    DDP semantics exactly (lightly NTXentLoss on each rank's local batch,
+    `pretrain.py:155,196-202`) while staying a single global jit: the vmapped
+    group losses fall entirely on their own shards, so XLA inserts no
+    cross-device communication for them. `num_groups=1` gives global
+    negatives (the `Config.global_negatives` upgrade path).
+    """
+    if num_groups <= 1:
+        return nt_xent_loss(z0, z1, temperature)
+    b = z0.shape[0]
+    assert b % num_groups == 0, (b, num_groups)
+    g = b // num_groups
+    z0g = z0.reshape(num_groups, g, -1)
+    z1g = z1.reshape(num_groups, g, -1)
+    losses = jax.vmap(lambda a, c: nt_xent_loss(a, c, temperature))(z0g, z1g)
+    return jnp.mean(losses)

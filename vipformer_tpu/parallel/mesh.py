@@ -1,0 +1,49 @@
+"""Device-mesh construction and axis conventions.
+
+The reference's distributed runtime is single-node DDP over NCCL
+(`pretrain.py:30-36,104-109`); the TPU-native equivalent is a
+`jax.sharding.Mesh` over ICI with XLA-inserted collectives:
+
+* `data` axis — batch (DP). Gradients are reduced by XLA because the loss
+  is a mean over a batch-sharded array under jit (no explicit allreduce
+  calls anywhere, unlike DDP's bucketed NCCL allreduce).
+* `model` axis — optional tensor parallelism over attention heads / MLP
+  hidden units (the reference has no TP at all; size 1 by default).
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh` and the
+global device list spans hosts; everything else is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    num_devices: int = 0, model_axis: int = 1, devices=None
+) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    n = num_devices or len(devs)
+    if n % model_axis:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    arr = np.array(devs[:n]).reshape(n // model_axis, model_axis)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return mesh.shape[DATA_AXIS]
