@@ -1,0 +1,124 @@
+"""End-to-end CLI smoke tests on synthetic data: every entry point runs a
+couple of epochs, checkpoints, and (where applicable) resumes."""
+
+import numpy as np
+import pytest
+
+from vipformer_tpu.config import Config
+
+TINY = dict(
+    epochs=2,
+    batch_size=8,
+    test_batch_size=16,
+    num_pt_points=64,
+    num_ft_points=64,
+    num_test_points=64,
+    num_pc_latents=8,
+    num_img_latents=8,
+    num_groups=8,
+    group_size=4,
+    num_latent_channels=32,
+    num_ca_heads=4,
+    num_sa_heads=4,
+    num_sa_layers=2,
+    mlp_widen_factor=2,
+    img_height=24,
+    img_width=24,
+    patch_size=12,
+    compute_dtype="float32",
+    optim="adamw",
+    lr=1e-3,
+    max_dpr=0.0,
+    atten_drop=0.0,
+    mlp_drop=0.0,
+    log_to_file=True,
+    print_freq=1000,
+)
+
+
+def tiny_cfg(tmp_path, **kw):
+    d = dict(TINY)
+    d.update(
+        data_dir=str(tmp_path / "data"),
+        run_dir=str(tmp_path / "runs"),
+        synthetic_data=True,
+    )
+    d.update(kw)
+    return Config(**d)
+
+
+def test_pretrain_cli(tmp_path):
+    from vipformer_tpu.cli import pretrain
+
+    cfg = tiny_cfg(tmp_path, exp_name="pt")
+    out = pretrain.main(cfg)
+    assert 0.0 <= out["best_acc"] <= 1.0
+    ckpt = tmp_path / "runs" / cfg.proj_name / "pt" / "models" / "pc_model_best.ckpt"
+    assert ckpt.exists()
+    # resume continues from the checkpoint without error
+    out2 = pretrain.main(cfg.replace(resume=True, epochs=3))
+    assert out2["best_epoch"] >= 0
+
+
+def test_ft_cls_cli_with_pretrained(tmp_path):
+    from vipformer_tpu.cli import ft_cls, pretrain
+
+    cfg = tiny_cfg(tmp_path, exp_name="pt2", epochs=1)
+    pretrain.main(cfg)
+    ft_cfg = tiny_cfg(
+        tmp_path, exp_name="pt2", epochs=2, num_obj_classes=40,
+        resume=True, pc_model_file="pc_model_best",
+    )
+    out = ft_cls.main(ft_cfg)
+    assert 0.0 <= out["best_acc"] <= 1.0
+
+
+def test_ft_cls_cli_from_scratch(tmp_path):
+    from vipformer_tpu.cli import ft_cls
+
+    out = ft_cls.main(
+        tiny_cfg(tmp_path, exp_name="cls", num_obj_classes=40)
+    )
+    assert 0.0 <= out["best_acc"] <= 1.0
+
+
+def test_ft_partseg_cli(tmp_path):
+    from vipformer_tpu.cli import ft_partseg
+
+    cfg = tiny_cfg(
+        tmp_path, exp_name="seg", num_sa_layers=4, layer_idx=(1, 2, 4),
+    )
+    out = ft_partseg.main(cfg)
+    assert 0.0 <= out["best"]["mean_category_iou"] <= 1.0
+
+
+def test_ft_semseg_cli(tmp_path):
+    from vipformer_tpu.cli import ft_semseg
+
+    cfg = tiny_cfg(
+        tmp_path, exp_name="sem", num_sa_layers=4, layer_idx=(1, 2, 4),
+        point_channels=6, num_obj_classes=13, num_ft_points=4096,
+        batch_size=8, test_batch_size=8,
+    )
+    out = ft_semseg.main(cfg)
+    assert 0.0 <= out["best"]["miou"] <= 1.0
+
+
+def test_eval_fewshot_cli(tmp_path):
+    from vipformer_tpu.cli import eval_fewshot
+
+    cfg = tiny_cfg(
+        tmp_path, exp_name="fs", n_runs=2, k_way=3, n_shot=3, n_query=3,
+    )
+    out = eval_fewshot.main(cfg)
+    assert 0.0 <= out["mean"] <= 100.0
+    assert len(out["accs"]) == 2
+
+
+def test_eval_zeroshot_cli(tmp_path):
+    from vipformer_tpu.cli import eval_zeroshot
+
+    cfg = tiny_cfg(tmp_path, exp_name="zs", test_batch_size=8)
+    out = eval_zeroshot.main(cfg)
+    assert 0.0 <= out["linear_acc"] <= 1.0
+    assert out["params"] > 0

@@ -1,0 +1,68 @@
+"""Shared CLI plumbing: run setup, batched feature extraction, eval loops."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from vipformer_tpu.config import Config
+from vipformer_tpu.data import Loader, pad_batch
+from vipformer_tpu.parallel import make_mesh, shard_batch
+from vipformer_tpu.train.logging import Logger, RunDir
+
+
+def setup(cfg: Config, snapshot_sources: bool = True):
+    """Run directory + logger + device mesh (replaces the reference's
+    `utils.init` + `mp.spawn` + process-group setup)."""
+    run = RunDir(cfg.run_dir, cfg.proj_name, cfg.exp_name)
+    logger = Logger(run, cfg.proj_name, to_file=cfg.log_to_file)
+    mesh = make_mesh(cfg.num_devices, cfg.model_axis)
+    logger.write(
+        f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} "
+        f"{mesh.devices.flat[0].platform} device(s)"
+    )
+    if snapshot_sources:
+        # reference snapshots entry+model sources per run (utils.py:338-346);
+        # we record the resolved config instead (sources live in git)
+        import dataclasses, json, os
+
+        with open(run.file("config.json"), "w") as f:
+            json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+    return run, logger, mesh
+
+
+def round_up_batch(cfg_batch: int, mesh) -> int:
+    """Global batch must divide the data axis (the reference asserts
+    batch_size % world_size == 0, pretrain.py:58-59)."""
+    d = mesh.shape["data"]
+    if cfg_batch % d:
+        raise ValueError(
+            f"batch_size {cfg_batch} not divisible by data-axis size {d}"
+        )
+    return cfg_batch
+
+
+def extract_features(feats_fn, params, batch_stats, dataset, batch_size,
+                     mesh, collate):
+    """Batched backbone-feature extraction over a full dataset.
+
+    Pads the trailing batch so the jit never sees a new shape; masks the
+    padding out of the returned arrays. (The reference extracts features
+    with `.tolist()` per batch on every rank redundantly,
+    `pretrain.py:237-249`.)"""
+    loader = Loader(dataset, batch_size, collate, shuffle=False)
+    feats, labels = [], []
+    for batch in loader:
+        batch, mask = pad_batch(batch, batch_size)
+        sb = shard_batch(batch, mesh)
+        out = np.asarray(feats_fn(params, batch_stats, sb["points"]))
+        feats.append(out[mask])
+        labels.append(batch["labels"][mask])
+    return np.concatenate(feats), np.concatenate(labels)
+
+
+def collate_points_labels(samples):
+    pts = np.stack([s[0] for s in samples])
+    labels = np.asarray([s[1] for s in samples], dtype=np.int64)
+    return {"points": pts, "labels": labels}

@@ -1,0 +1,179 @@
+"""Contrastive pretraining entry point (reference `pretrain.py`).
+
+DDP-era mechanics translated to the mesh runtime: one process, one jitted
+step over the global batch sharded across the data axis; the per-epoch SVM
+linear probe runs once on device (the reference redundantly ran sklearn on
+every rank). Checkpoints on new-best probe accuracy, exactly like the
+reference's gate (`pretrain.py:281-290`).
+
+Usage: python -m vipformer_tpu.cli.pretrain --epochs 2 --batch_size 32 ...
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vipformer_tpu.cli.common import (
+    collate_points_labels,
+    extract_features,
+    round_up_batch,
+    setup,
+)
+from vipformer_tpu.config import Config, config_from_args
+from vipformer_tpu.data import (
+    Loader,
+    ModelNet40SVM,
+    ScanObjectNNSVM,
+    ShapeNetRender,
+    collate_pretrain,
+)
+from vipformer_tpu.evaluation import fit_svm
+from vipformer_tpu.models import build_img_model, build_pc_model
+from vipformer_tpu.parallel import data_axis_size, place_state, shard_batch
+from vipformer_tpu.train import (
+    Schedule,
+    create_state,
+    init_variables,
+    load_checkpoint,
+    make_feats_fn,
+    make_pretrain_step,
+    save_checkpoint,
+)
+from vipformer_tpu.train.meters import AverageMeter
+
+
+def probe_sets(cfg: Config):
+    ds_cls = {"ModelNet40": ModelNet40SVM, "ScanObjectNN": ScanObjectNNSVM}[
+        cfg.pt_dataset
+    ]
+    train = ds_cls(cfg.data_dir, "train", cfg.num_test_points)
+    test = ds_cls(cfg.data_dir, "test", cfg.num_test_points)
+    return train, test
+
+
+def main(cfg: Config) -> dict:
+    run, logger, mesh = setup(cfg)
+    batch_size = round_up_batch(cfg.batch_size, mesh)
+
+    train_set = ShapeNetRender(
+        cfg.data_dir, cfg.img_height, cfg.img_width, cfg.num_pt_points
+    )
+    train_loader = Loader(
+        train_set, batch_size, collate_pretrain, shuffle=True,
+        seed=cfg.seed, drop_last=True, num_workers=cfg.num_workers,
+    )
+    probe_train, probe_test = probe_sets(cfg)
+    logger.write(
+        f"pretrain set: {len(train_set)} samples "
+        f"({'synthetic' if getattr(train_set, 'synthetic', False) else 'real'}), "
+        f"probe: {cfg.pt_dataset} {len(probe_train)}/{len(probe_test)}"
+    )
+
+    pc_model = build_pc_model(cfg)
+    use_img = cfg.modality != "imc-only"
+    img_model = build_img_model(cfg) if use_img else None
+
+    sample = next(iter(train_loader))
+    pc_params, pc_stats = init_variables(
+        pc_model, (jnp.asarray(sample["pc_t1"]),), cfg.seed
+    )
+    params = {"pc": pc_params}
+    stats = {"pc": pc_stats}
+    if use_img:
+        img_params, img_stats = init_variables(
+            img_model, (jnp.asarray(sample["imgs"]),), cfg.seed + 10
+        )
+        params["img"] = img_params
+        stats["img"] = img_stats
+
+    state, tx = create_state(cfg, params, stats)
+    start_epoch = 0
+    if cfg.resume:
+        path = run.model_path(cfg.pc_model_file)
+        restored = load_checkpoint(path, template=state)
+        state = restored
+        from vipformer_tpu.train import load_metadata
+
+        start_epoch = load_metadata(path).get("epoch", -1) + 1
+        logger.write(f"resumed from {path} at epoch {start_epoch}")
+    state = place_state(state, mesh)
+
+    step = make_pretrain_step(
+        cfg, pc_model, img_model, tx, neg_groups=data_axis_size(mesh)
+    )
+    feats_fn = make_feats_fn(pc_model)
+    schedule = Schedule(cfg)
+
+    best_acc, best_epoch = 0.0, -1
+    key = jax.random.key(cfg.seed)
+    for epoch in range(start_epoch, cfg.epochs):
+        lr = schedule.lr(epoch)
+        train_loader.set_epoch(epoch)
+        meters = {k: AverageMeter() for k in ("loss", "loss_imid", "loss_cmid")}
+        t0 = time.time()
+        for i, batch in enumerate(train_loader):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, shard_batch(batch, mesh), lr, sub)
+            for k, m in meters.items():
+                m.update(float(metrics[k]), batch_size)
+            if i % cfg.print_freq == 0:
+                logger.write(
+                    f"epoch {epoch}/{cfg.epochs} batch {i}/{len(train_loader)} "
+                    f"<{cfg.modality}> imid {meters['loss_imid'].avg:.4f} "
+                    f"cmid {meters['loss_cmid'].avg:.4f} "
+                    f"total {meters['loss'].avg:.4f}"
+                )
+        train_time = time.time() - t0
+
+        # --- SVM linear probe (the continuous quality gate)
+        t0 = time.time()
+        pc_params_eval = state.params["pc"]
+        pc_stats_eval = state.batch_stats["pc"]
+        tr_feats, tr_labels = extract_features(
+            feats_fn, pc_params_eval, pc_stats_eval, probe_train,
+            cfg.test_batch_size, mesh, collate_points_labels,
+        )
+        te_feats, te_labels = extract_features(
+            feats_fn, pc_params_eval, pc_stats_eval, probe_test,
+            cfg.test_batch_size, mesh, collate_points_labels,
+        )
+        svm = fit_svm(tr_feats, tr_labels, c=cfg.svm_coff)
+        test_acc = svm.score(te_feats, te_labels)
+        test_time = time.time() - t0
+
+        if test_acc > best_acc:
+            best_acc, best_epoch = test_acc, epoch
+            logger.write(
+                f"new best probe acc {best_acc:.4f} at epoch {epoch}; saving"
+            )
+            save_checkpoint(
+                run.model_path("pc_model_best"),
+                jax.device_get(state),
+                {"epoch": epoch, "svm_test_acc": test_acc, "kind": "pretrain"},
+            )
+        logger.write(
+            f"epoch {epoch}: probe acc {test_acc:.4f} (best {best_acc:.4f}"
+            f"@{best_epoch}) lr {lr:.5f} train {train_time:.1f}s "
+            f"probe {test_time:.1f}s"
+        )
+        logger.metrics(
+            epoch,
+            lr=lr,
+            pretrain_loss=meters["loss"].avg,
+            imid_loss=meters["loss_imid"].avg,
+            cmid_loss=meters["loss_cmid"].avg,
+            svm_test_acc=test_acc,
+            svm_best_acc=best_acc,
+            train_time=train_time,
+            test_time=test_time,
+        )
+    logger.write(f"final best probe acc {best_acc:.4f} at epoch {best_epoch}")
+    return {"best_acc": best_acc, "best_epoch": best_epoch}
+
+
+if __name__ == "__main__":
+    main(config_from_args())
