@@ -34,7 +34,16 @@ FLAGSHIP = "E1CL8SL-H4D256-L128-MR2"
 NUM_POINTS = 1024
 
 
-def bench_forward(batch_size: int, iters: int = 30, warmup: int = 5):
+def bench_forward(batch_size: int, reps: int = 5):
+    """Time K chained forwards inside one jit and difference two K values.
+
+    On a tunneled/remote PJRT backend, per-call `block_until_ready` measures
+    dispatch + link latency, not device time; chaining K iterations in one
+    executable (each consuming the previous output so nothing folds away)
+    and fetching one scalar at the end gives
+    device_time_per_step = (t[K2] - t[K1]) / (K2 - K1) with the constant
+    overhead cancelled.
+    """
     on_tpu = jax.default_backend() == "tpu"
     cfg = Config(
         compute_dtype="bfloat16" if on_tpu else "float32",
@@ -50,31 +59,42 @@ def bench_forward(batch_size: int, iters: int = 30, warmup: int = 5):
     )
     variables = model.init({"params": jax.random.key(0)}, pts)
 
-    @jax.jit
-    def fwd(v, x):
-        logits, _ = model.apply(v, x, deterministic=True)
-        return logits
+    from functools import partial
 
-    # compile + warmup
-    fwd(variables, pts).block_until_ready()
-    for _ in range(warmup):
-        out = fwd(variables, pts)
-    out.block_until_ready()
+    @partial(jax.jit, static_argnames=("k",))
+    def chain(v, x, k):
+        def body(_, carry):
+            # perturb the input with the previous logits' mean so every
+            # iteration depends on the last (no loop-invariant hoisting)
+            x_i, acc = carry
+            logits, _ = model.apply(v, x_i, deterministic=True)
+            s = jnp.mean(logits).astype(x_i.dtype)
+            return x_i + s * 1e-6, acc + jnp.sum(logits)
 
-    times = []
-    for _ in range(iters):
+        _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))
+        return acc
+
+    k1, k2 = 2, 12
+
+    def run(k):
+        return float(chain(variables, pts, k))  # scalar fetch = real barrier
+
+    run(k1), run(k2)  # compile both
+    t1s, t2s = [], []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        fwd(variables, pts).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    times = np.array(times)
-    p50 = float(np.percentile(times, 50))
-    best = float(np.min(times))
+        run(k1)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(k2)
+        t2s.append(time.perf_counter() - t0)
+    step = (np.median(t2s) - np.median(t1s)) / (k2 - k1)
+    step = max(step, 1e-9)
     return {
         "batch": batch_size,
-        "p50_batch_latency_s": p50,
-        "clouds_per_sec_p50": batch_size / p50,
-        "clouds_per_sec_best": batch_size / best,
-        "p50_per_cloud_ms": 1000.0 * p50 / batch_size,
+        "p50_batch_latency_s": step,
+        "clouds_per_sec_p50": batch_size / step,
+        "p50_per_cloud_ms": 1000.0 * step / batch_size,
     }
 
 
