@@ -59,10 +59,8 @@ def bench_forward(batch_size: int, reps: int = 5):
     )
     variables = model.init({"params": jax.random.key(0)}, pts)
 
-    from functools import partial
-
-    @partial(jax.jit, static_argnames=("k",))
-    def chain(v, x, k):
+    @jax.jit
+    def chain(v, x, k):  # k dynamic -> one compilation for any k
         def body(_, carry):
             # perturb the input with the previous logits' mean so every
             # iteration depends on the last (no loop-invariant hoisting)
@@ -71,15 +69,18 @@ def bench_forward(batch_size: int, reps: int = 5):
             s = jnp.mean(logits).astype(x_i.dtype)
             return x_i + s * 1e-6, acc + jnp.sum(logits)
 
-        _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))
+        _, acc = jax.lax.fori_loop(
+            0, k, body, (x, jnp.float32(0))
+        )
         return acc
 
     k1, k2 = 2, 12
 
     def run(k):
-        return float(chain(variables, pts, k))  # scalar fetch = real barrier
+        # scalar fetch = real barrier even on async/tunneled backends
+        return float(chain(variables, pts, jnp.int32(k)))
 
-    run(k1), run(k2)  # compile both
+    run(k1)  # compile + warmup
     t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()

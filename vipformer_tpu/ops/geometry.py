@@ -81,6 +81,17 @@ def knn(k: int, points: Array, queries: Array) -> Array:
     return idx.astype(jnp.int32)
 
 
+# None = auto (Pallas kernel on TPU, lax.fori_loop elsewhere); tests and
+# benchmarks can force either path.
+USE_PALLAS_FPS: bool | None = None
+
+
+def _pallas_fps_enabled() -> bool:
+    if USE_PALLAS_FPS is not None:
+        return USE_PALLAS_FPS
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("npoint",))
 def farthest_point_sample(
     pts: Array, npoint: int, key: Array | None = None
@@ -109,6 +120,11 @@ def farthest_point_sample(
         farthest0 = jnp.zeros((B,), dtype=jnp.int32)
     else:
         farthest0 = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+
+    if _pallas_fps_enabled():
+        from vipformer_tpu.ops.pallas.fps import fps_pallas
+
+        return fps_pallas(xyz, npoint, farthest0)
 
     centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32)
     distance0 = jnp.full((B, N), 1e10, dtype=jnp.float32)

@@ -1,0 +1,109 @@
+"""Pallas TPU kernel: farthest point sampling.
+
+FPS is the one inherently sequential kernel in the pipeline (SURVEY.md §7
+"hard parts"): npoint dependent iterations of gather -> distance ->
+min -> argmax over a [B, N] state. The XLA `fori_loop` version
+(ops/geometry.py) round-trips the state through HLO loop machinery every
+step; this kernel keeps the whole loop resident in VMEM — one program
+processes a tile of batch rows and each iteration is pure VPU work:
+
+* coordinates are carried as three separate [B, N] planes — a trailing
+  xyz-dim of 3 would pad to the 128-lane tile and blow VMEM 40x,
+* the centroid gather is a masked reduction (row == farthest via iota
+  compare), no dynamic addressing,
+* argmax is max + first-index-of-max (iota min), matching torch.max tie
+  semantics (`pointcloud/utils.py:83`),
+* selected indices accumulate in registers via one-hot adds (Mosaic
+  disallows unaligned dynamic single-column stores) and are written once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _fps_kernel(npoint: int, n: int, xs_ref, ys_ref, zs_ref, start_ref,
+                out_ref):
+    xs = xs_ref[...]  # [Bt, N] f32
+    ys = ys_ref[...]
+    zs = zs_ref[...]
+    bt = xs.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bt, n), 1)  # [Bt, N]
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (bt, npoint), 1)
+
+    dist0 = jnp.full((bt, n), 1e10, dtype=jnp.float32)
+    far0 = start_ref[...][:, 0]  # [Bt, 1] -> [Bt] int32
+    acc0 = jnp.zeros((bt, npoint), dtype=jnp.int32)
+
+    def body(i, carry):
+        dist, far, acc = carry
+        acc = acc + jnp.where(out_col == i, far[:, None], 0)
+        sel = (col == far[:, None]).astype(jnp.float32)  # [Bt, N]
+        cx = jnp.sum(sel * xs, axis=1, keepdims=True)  # [Bt, 1]
+        cy = jnp.sum(sel * ys, axis=1, keepdims=True)
+        cz = jnp.sum(sel * zs, axis=1, keepdims=True)
+        d = (xs - cx) ** 2 + (ys - cy) ** 2 + (zs - cz) ** 2
+        dist = jnp.minimum(dist, d)
+        m = jnp.max(dist, axis=-1, keepdims=True)
+        far = jnp.min(
+            jnp.where(dist == m, col, n), axis=-1
+        ).astype(jnp.int32)
+        return dist, far, acc
+
+    _, _, acc = jax.lax.fori_loop(0, npoint, body, (dist0, far0, acc0))
+    out_ref[...] = acc
+
+
+@partial(
+    jax.jit, static_argnames=("npoint", "block_rows", "interpret")
+)
+def fps_pallas(
+    xyz: Array,
+    npoint: int,
+    start: Array | None = None,
+    block_rows: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """FPS indices [B, npoint] for xyz [B, N, >=3] (first 3 channels used).
+
+    `start`: optional int32 [B] start indices (defaults to 0, matching the
+    deterministic mode of ops.geometry.farthest_point_sample).
+    """
+    b, n, _ = xyz.shape
+    planes = [xyz[..., i].astype(jnp.float32) for i in range(3)]
+    if start is None:
+        start = jnp.zeros((b,), jnp.int32)
+    # rank-1 blocks are restricted on TPU; carry start as [B, 1]
+    start = start.astype(jnp.int32).reshape(b, 1)
+
+    block_rows = min(block_rows, b)
+    if b % block_rows:
+        block_rows = 1  # fallback for ragged batches
+
+    grid = (b // block_rows,)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    plane_spec = pl.BlockSpec(
+        (block_rows, n), lambda i: (i, 0), memory_space=ms
+    )
+    return pl.pallas_call(
+        partial(_fps_kernel, npoint, n),
+        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+        grid=grid,
+        in_specs=[
+            plane_spec,
+            plane_spec,
+            plane_spec,
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0), memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_rows, npoint), lambda i: (i, 0), memory_space=ms
+        ),
+        interpret=interpret,
+    )(*planes, start)
