@@ -194,3 +194,25 @@ def test_ops_jit_and_grad(rng):
     g = jax.grad(f)(pts)
     assert g.shape == pts.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_knn_packed_matches_exact(rng):
+    """Packed-key kNN (single-operand sort) must agree with exact top_k on
+    generic point sets (see knn docstring for the tie-regime deviation)."""
+    pts = jnp.asarray(rng.standard_normal((4, 256, 3)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((4, 32, 3)).astype(np.float32))
+    a = np.asarray(knn(16, pts, q, method="exact"))
+    b = np.asarray(knn(16, pts, q, method="packed"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_knn_packed_duplicate_points(rng):
+    """Duplicated points (exact distance ties) resolve by ascending index,
+    deterministically."""
+    base = rng.standard_normal((1, 8, 3)).astype(np.float32)
+    pts = jnp.asarray(np.concatenate([base, base], axis=1))  # every point twice
+    q = jnp.asarray(base[:, :2])
+    b = np.asarray(knn(4, pts, q, method="packed"))
+    for j in range(2):
+        got = set(b[0, j].tolist())
+        assert j in got and j + 8 in got  # both copies of the query point

@@ -40,3 +40,27 @@ def test_fps_pallas_extra_channels(rng):
     got = np.asarray(fps_pallas(xyz, 8, interpret=True))
     want = np.asarray(farthest_point_sample(xyz, 8))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_attention_matches_xla(rng):
+    from vipformer_tpu.ops.attention import dot_product_attention
+    from vipformer_tpu.ops.pallas.attention import fused_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 4, 16, 32)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 4, 64, 32)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 4, 64, 32)).astype(np.float32))
+    want = np.asarray(
+        dot_product_attention(q, k, v, scale=0.125, deterministic=True)
+    )
+    got = np.asarray(
+        fused_attention(q, k, v, scale=0.125, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_fused_attention_fits_budget():
+    from vipformer_tpu.ops.pallas.attention import fused_attention_fits
+    import jax.numpy as jnp
+
+    assert fused_attention_fits(128, 2048, 64, 64, jnp.bfloat16)
+    assert not fused_attention_fits(4096, 65536, 128, 128, jnp.float32)

@@ -50,6 +50,23 @@ def dot_product_attention(
       [B, H, N, Cv] in `out_dtype` (defaults to v.dtype).
     """
     out_dtype = out_dtype or v.dtype
+
+    from vipformer_tpu.ops.pallas.attention import (
+        fused_attention,
+        fused_attention_enabled,
+        fused_attention_fits,
+    )
+
+    if fused_attention_enabled(pad_mask, dropout_rate, deterministic) and (
+        fused_attention_fits(
+            q.shape[2], k.shape[2], q.shape[3], v.shape[3], out_dtype
+        )
+    ):
+        return fused_attention(
+            q.astype(out_dtype), k.astype(out_dtype), v.astype(out_dtype),
+            scale=float(scale),
+        )
+
     logits = jnp.einsum(
         "bhnc,bhmc->bhnm", q, k, preferred_element_type=jnp.float32
     )

@@ -62,23 +62,49 @@ def index_points(points: Array, idx: Array) -> Array:
     return out.reshape(*idx.shape, C)
 
 
-def knn(k: int, points: Array, queries: Array) -> Array:
+# None = auto (packed-key sort on TPU, exact top_k elsewhere)
+KNN_METHOD: str | None = None
+
+
+def knn(k: int, points: Array, queries: Array, method: str | None = None) -> Array:
     """Indices of the k nearest `points` for each of the `queries`.
 
     Args:
       k: neighborhood size (static).
       points: [B, N, C] reference set.
       queries: [B, S, C] query set.
+      method: 'exact' (top_k over f32 distances), 'packed' (single-operand
+        sort over distance-bits|index int32 keys), or None -> module
+        default / auto.
     Returns:
       int32 [B, S, k] neighbor indices (sorted nearest-first).
 
     Equivalent of reference `knn_point` (`pointcloud/utils.py:107-119`):
-    full pairwise distance matrix (MXU) + top-k. `lax.top_k` selects largest,
-    so we negate.
+    full pairwise distance matrix (MXU) + k-selection.
+
+    The packed method exploits that non-negative f32 bit patterns compare
+    like the floats: truncate the low ceil(log2 N) mantissa bits of each
+    distance and splice the point index in, then ONE single-operand sort
+    yields the k nearest with indices decoded from the keys — no pair-sort
+    index tracking. Deviation from exact: two candidates whose distances
+    agree to ~2^-(23-log2 N) relative get ordered by index instead of
+    distance — below f32 noise for these workloads, and deterministic.
     """
+    method = method or KNN_METHOD
+    if method is None:
+        method = "packed" if jax.default_backend() == "tpu" else "exact"
     d = square_distance(queries, points)
-    _, idx = jax.lax.top_k(-d, k)
-    return idx.astype(jnp.int32)
+    if method == "exact":
+        _, idx = jax.lax.top_k(-d, k)
+        return idx.astype(jnp.int32)
+    n = points.shape[1]
+    idx_bits = max(1, (n - 1).bit_length())
+    mask = (1 << idx_bits) - 1
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)  # monotone for d >= 0
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, d.ndim - 1)
+    keys = (bits & ~mask) | iota
+    skeys = jax.lax.sort(keys, dimension=-1)
+    return (skeys[..., :k] & mask).astype(jnp.int32)
 
 
 # None = auto (Pallas kernel on TPU, lax.fori_loop elsewhere); tests and
