@@ -64,3 +64,32 @@ def test_fused_attention_fits_budget():
 
     assert fused_attention_fits(128, 2048, 64, 64, jnp.bfloat16)
     assert not fused_attention_fits(4096, 65536, 128, 128, jnp.float32)
+
+
+def test_mxu_gather_matches_take_along_axis(rng):
+    from vipformer_tpu.ops.pallas.gather import gather_rows_pallas
+
+    pts = jnp.asarray(rng.standard_normal((3, 64, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 64, size=(3, 32)).astype(np.int32))
+    want = np.asarray(jnp.take_along_axis(pts, idx[:, :, None], axis=1))
+    got = np.asarray(gather_rows_pallas(pts, idx, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mxu_gather_grad_is_scatter_add(rng):
+    from vipformer_tpu.ops.pallas.gather import gather_rows_pallas
+
+    pts = jnp.asarray(rng.standard_normal((2, 16, 3)).astype(np.float32))
+    idx = jnp.asarray(
+        np.array([[0, 0, 5, 9], [3, 3, 3, 1]], dtype=np.int32)
+    )
+
+    def f(p):
+        return jnp.sum(gather_rows_pallas(p, idx, interpret=True) ** 2)
+
+    def f_ref(p):
+        return jnp.sum(jnp.take_along_axis(p, idx[:, :, None], axis=1) ** 2)
+
+    g = np.asarray(jax.grad(f)(pts))
+    g_ref = np.asarray(jax.grad(f_ref)(pts))
+    np.testing.assert_allclose(g, g_ref, atol=1e-5)

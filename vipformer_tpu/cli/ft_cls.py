@@ -93,6 +93,16 @@ def main(cfg: Config) -> dict:
     eval_step = make_cls_eval(model)
     schedule = Schedule(cfg)
 
+    if cfg.eval_only:
+        # reference `--eval` mode: load model_best and report test accuracy
+        best = load_checkpoint(run.model_path("model_best"), template=state)
+        acc = evaluate(
+            eval_step, best.params, best.batch_stats, test_set,
+            cfg.test_batch_size, mesh,
+        )
+        logger.write(f"eval-only: test acc {acc:.4f}")
+        return {"best_acc": acc, "best_epoch": -1}
+
     best_acc, best_epoch = 0.0, -1
     key = jax.random.key(cfg.seed)
     for epoch in range(cfg.epochs):

@@ -115,9 +115,13 @@ def main(cfg: Config) -> dict:
         train_loader.set_epoch(epoch)
         meters = {k: AverageMeter() for k in ("loss", "loss_imid", "loss_cmid")}
         t0 = time.time()
-        for i, batch in enumerate(train_loader):
+        from vipformer_tpu.data.pipeline import prefetch_to_device
+
+        for i, batch in enumerate(
+            prefetch_to_device(iter(train_loader), mesh)
+        ):
             key, sub = jax.random.split(key)
-            state, metrics = step(state, shard_batch(batch, mesh), lr, sub)
+            state, metrics = step(state, batch, lr, sub)
             for k, m in meters.items():
                 m.update(float(metrics[k]), batch_size)
             if i % cfg.print_freq == 0:
@@ -152,6 +156,12 @@ def main(cfg: Config) -> dict:
             )
             save_checkpoint(
                 run.model_path("pc_model_best"),
+                jax.device_get(state),
+                {"epoch": epoch, "svm_test_acc": test_acc, "kind": "pretrain"},
+            )
+        if cfg.save_freq and (epoch + 1) % cfg.save_freq == 0:
+            save_checkpoint(
+                run.model_path(f"pc_model_epoch{epoch}"),
                 jax.device_get(state),
                 {"epoch": epoch, "svm_test_acc": test_acc, "kind": "pretrain"},
             )

@@ -118,6 +118,38 @@ def collate_semseg(samples):
     return {"points": pts, "seg": seg}
 
 
+def prefetch_to_device(iterator, mesh, depth: int = 2):
+    """Overlap host batch assembly + H2D transfer with device compute.
+
+    Wraps a Loader iterator: a background thread keeps `depth` batches
+    already sharded onto the mesh (device_put is async), so the training
+    loop never waits on the host. Replaces the reference's DataLoader
+    `pin_memory=True` + implicit CUDA stream overlap.
+    """
+    import queue as _queue
+    import threading
+
+    from vipformer_tpu.parallel.sharding import shard_batch
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                q.put(shard_batch(batch, mesh))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+
+
 def pad_batch(batch: dict, batch_size: int) -> tuple[dict, np.ndarray]:
     """Pad a trailing partial batch up to `batch_size` by repeating the last
     sample; returns (padded_batch, valid_mask [batch_size]). Keeps evaluation

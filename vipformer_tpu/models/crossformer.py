@@ -172,11 +172,12 @@ class _PointPatchStem(nn.Module):
             self.make_rng("fps") if self.has_rng("fps") else None
         )
         neighbors, centers = divide_patches(
-            pts, self.num_latents, self.group_size, fps_key
+            pts, self.num_latents, self.group_size, fps_key,
+            neighbor_dtype=dt,
         )
         group_embs = Group2Emb(
             self.num_latent_channels, dtype=self.dtype, name="group2emb"
-        )(neighbors.astype(dt), deterministic)
+        )(neighbors, deterministic)
         pos_embs = PositionEmb(
             self.num_latent_channels, dtype=self.dtype, name="position_emb"
         )(centers.astype(dt))

@@ -54,11 +54,23 @@ def index_points(points: Array, idx: Array) -> Array:
     """Batched gather: points [B, N, C], idx [B, ...] -> [B, ..., C].
 
     Equivalent of reference `index_points` (`pointcloud/utils.py:88-104`).
+    On TPU large row gathers dispatch to the MXU one-hot kernel
+    (ops/pallas/gather.py) — XLA's scalar-driven gather is the slowest op
+    of the patch pipeline otherwise.
     """
     B = points.shape[0]
     C = points.shape[-1]
     flat_idx = idx.reshape(B, -1)  # [B, K]
-    out = jnp.take_along_axis(points, flat_idx[:, :, None], axis=1)
+
+    from vipformer_tpu.ops.pallas.gather import (
+        gather_rows_pallas,
+        mxu_gather_enabled,
+    )
+
+    if mxu_gather_enabled(points, flat_idx.shape[1]):
+        out = gather_rows_pallas(points, flat_idx)
+    else:
+        out = jnp.take_along_axis(points, flat_idx[:, :, None], axis=1)
     return out.reshape(*idx.shape, C)
 
 
@@ -186,6 +198,7 @@ def divide_patches(
     num_groups: int,
     group_size: int,
     key: Array | None = None,
+    neighbor_dtype=None,
 ) -> tuple[Array, Array]:
     """FPS centers -> kNN neighborhoods -> center-normalized local patches.
 
@@ -209,8 +222,12 @@ def divide_patches(
     """
     centers = fps(points, num_groups, key)
     idx = knn(group_size, points[..., :3], centers[..., :3])
-    neighbors = index_points(points, idx)  # [B, G, S, C]
-    delta = neighbors[..., :3] - centers[..., None, :3]
+    # FPS/kNN select on f32 coordinates; the neighbor gather may run in the
+    # consumer's compute dtype (values identical to gather-then-cast, and
+    # exact for the MXU kernel at DEFAULT precision — see ops/pallas/gather)
+    src = points.astype(neighbor_dtype) if neighbor_dtype else points
+    neighbors = index_points(src, idx)  # [B, G, S, C]
+    delta = neighbors[..., :3] - centers[..., None, :3].astype(neighbors.dtype)
     neighbors = jnp.concatenate([delta, neighbors[..., 3:]], axis=-1)
     return neighbors, centers
 

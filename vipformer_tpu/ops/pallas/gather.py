@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: batched row gather via one-hot MXU matmul.
+
+TPUs have no hardware gather; XLA lowers `take_along_axis` row gathers to
+scalar-driven copies that dominate the patch pipeline (~12 ms of a 36 ms
+forward at [256, 1024] -> [256, 4096] rows). The MXU, however, is nearly
+free at these sizes: selecting K rows of an [N, C] table is
+`onehot[K, N] @ table[N, C]`, and built inside the kernel the one-hot
+matrix only ever exists in VMEM (materializing it in HBM would cost
+gigabytes).
+
+Layout notes (Mosaic): indices travel as [rows, 128] tiles and stay in
+that layout — the one-hot is built 3-D ([rows, 128, N]) and contracted
+against the table without any vector relayout; outputs are produced as
+[B, K/128, 128, C] and reshaped to [B, K, C] at the XLA level where the
+reshape is free.
+
+Exactness: bf16 tables gather exactly at DEFAULT precision (products are
+1.0 x bf16 with f32 accumulation); f32 tables use Precision.HIGHEST
+(bf16x6) and reproduce take_along_axis bit-exactly (verified on chip). The
+patch stem therefore gathers neighbors in the compute dtype - identical
+values to gather-then-cast, at DEFAULT-matmul speed.
+Differentiable w.r.t. the table: the VJP is the transposed contraction
+(scatter-add), also an MXU kernel accumulating across K-chunks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# auto policy: kernel on TPU, take_along_axis elsewhere
+USE_MXU_GATHER: bool | None = None
+
+
+def _onehot3(idx, n):
+    """idx [rows, 128] int32 -> one-hot [rows, 128, n] f32, no relayout."""
+    rows = idx.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 128, n), 2)
+    return (iota == idx[:, :, None]).astype(jnp.float32)
+
+
+def _precision_for(dtype):
+    """bf16 tables are exact at DEFAULT (1.0 x bf16 products, f32
+    accumulate); f32 tables need HIGHEST (bf16x6) for bit-exact rows."""
+    if dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
+def _gather_kernel(idx_ref, pts_ref, out_ref):
+    idx = idx_ref[0]  # [rows, 128] int32
+    pts = pts_ref[0]  # [N, C]
+    n = pts.shape[0]
+    onehot = _onehot3(idx, n).astype(pts.dtype)  # [rows, 128, N]
+    out = jax.lax.dot_general(
+        onehot,
+        pts,
+        (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(pts.dtype),
+    )  # [rows, 128, C]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _scatter_kernel(idx_ref, g_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    idx = idx_ref[0]  # [rows, 128]
+    g = g_ref[0]  # [rows, 128, C]
+    n = out_ref.shape[1]
+    onehot = _onehot3(idx, n).astype(g.dtype)  # [rows, 128, N]
+    acc = jax.lax.dot_general(
+        onehot,
+        g,
+        (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(g.dtype),
+    )  # [N, C]
+    out_ref[0] += acc.astype(out_ref.dtype)
+
+
+def _pick_rows(k128: int, rows: int) -> int:
+    """Rows-of-128 per program: largest divisor of k128 that is <= rows."""
+    rows = min(rows, k128)
+    while rows > 1 and k128 % rows:
+        rows -= 1
+    return rows
+
+
+def _pad_k(idx, extra=None):
+    k0 = idx.shape[1]
+    k = -(-k0 // 128) * 128
+    if k != k0:
+        idx = jnp.pad(idx, ((0, 0), (0, k - k0)))
+        if extra is not None:
+            extra = jnp.pad(extra, ((0, 0), (0, k - k0), (0, 0)))
+    return idx, extra, k0, k
+
+
+def _gather_impl(points, idx, rows, interpret):
+    b, n, c = points.shape
+    idx, _, k0, k = _pad_k(idx)
+    rows = _pick_rows(k // 128, rows)
+    idx3 = idx.astype(jnp.int32).reshape(b, k // 128, 128)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    out = pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, k // 128, 128, c), points.dtype),
+        grid=(b, k // 128 // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, 128), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0), memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, 128, c), lambda i, j: (i, j, 0, 0), memory_space=ms
+        ),
+        interpret=interpret,
+    )(idx3, points)
+    return out.reshape(b, k, c)[:, :k0]
+
+
+def _scatter_impl(g, idx, points_shape, dtype, rows, interpret):
+    b, n, c = points_shape
+    idx, g, k0, k = _pad_k(idx, g)
+    rows = _pick_rows(k // 128, rows)
+    idx3 = idx.astype(jnp.int32).reshape(b, k // 128, 128)
+    g4 = g.reshape(b, k // 128, 128, c)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        _scatter_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n, c), dtype),
+        grid=(b, k // 128 // rows),
+        in_specs=[
+            pl.BlockSpec((1, rows, 128), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, rows, 128, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, c), lambda i, j: (i, 0, 0), memory_space=ms
+        ),
+        interpret=interpret,
+    )(idx3, g4)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows_pallas(
+    points: Array,
+    idx: Array,
+    rows: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """points [B, N, C] (C <= 128), idx int [B, K] -> [B, K, C]."""
+    return _gather_impl(points, idx, rows, interpret)
+
+
+def _gather_fwd(points, idx, rows, interpret):
+    out = _gather_impl(points, idx, rows, interpret)
+    # points[:0]: zero-size carrier of the table's shape/dtype for bwd
+    return out, (points[:0], idx)
+
+
+def _gather_bwd(rows, interpret, res, g):
+    import numpy as np
+
+    proto, idx = res
+    shape = (idx.shape[0],) + proto.shape[1:]
+    d_points = _scatter_impl(g, idx, shape, proto.dtype, rows, interpret)
+    return d_points, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+gather_rows_pallas.defvjp(_gather_fwd, _gather_bwd)
+
+
+def mxu_gather_enabled(points: Array, flat_k: int) -> bool:
+    if USE_MXU_GATHER is not None:
+        return USE_MXU_GATHER
+    if jax.default_backend() != "tpu":
+        return False
+    b, n, c = points.shape
+    # worthwhile when the gather is big enough to beat dispatch overhead
+    # and the table row fits one tile of lanes
+    return c <= 128 and n >= 128 and flat_k >= 512
