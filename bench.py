@@ -99,20 +99,103 @@ def bench_forward(batch_size: int, reps: int = 5):
     }
 
 
+def bench_partseg(batch_size: int = 128, reps: int = 5):
+    """Part-segmentation inference throughput (TABLE III workload: dense
+    per-point decode, H6D384 12-layer encoder with 3 feature taps)."""
+    from vipformer_tpu.models import build_ft_partseg
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Config(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        num_latent_channels=384,
+        num_ca_heads=6,
+        num_sa_heads=6,
+        num_sa_layers=12,
+        mlp_widen_factor=4,
+        layer_idx=(2, 6, 10),
+        max_dpr=0.1,
+        atten_drop=0.0,
+        mlp_drop=0.0,
+    )
+    model = build_ft_partseg(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(
+        rng.standard_normal((batch_size, NUM_POINTS, 3)), dtype=jnp.float32
+    )
+    onehot = jnp.zeros((batch_size, 16), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, pts, onehot)
+
+    from functools import partial
+
+    @jax.jit
+    def chain(v, x, k):
+        def body(_, carry):
+            x_i, acc = carry
+            logits = model.apply(v, x_i, onehot, deterministic=True)
+            s = jnp.mean(logits).astype(x_i.dtype)
+            return x_i + s * 1e-6, acc + jnp.sum(logits)
+
+        _, acc = jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))
+        return acc
+
+    k1, k2 = 2, 8
+
+    def run(k):
+        return float(chain(variables, pts, jnp.int32(k)))
+
+    run(k1)
+    t1s, t2s = [], []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(k1)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(k2)
+        t2s.append(time.perf_counter() - t0)
+    step = max((np.median(t2s) - np.median(t1s)) / (k2 - k1), 1e-9)
+    return {
+        "batch": batch_size,
+        "clouds_per_sec_p50": batch_size / step,
+        "p50_per_cloud_ms": 1000.0 * step / batch_size,
+    }
+
+
 def main():
     quick = "--quick" in sys.argv
-    batches = [256] if quick else [64, 128, 256, 512]
+    batches = [256] if quick else [128, 256, 512]
     results = []
     for b in batches:
         try:
             results.append(bench_forward(b))
-            print(f"# batch {b}: {results[-1]}", file=sys.stderr)
+            print(f"# cls batch {b}: {results[-1]}", file=sys.stderr)
         except Exception as e:  # e.g. OOM at large batch
-            print(f"# batch {b} failed: {e}", file=sys.stderr)
+            print(f"# cls batch {b} failed: {e}", file=sys.stderr)
     if not results:
         raise SystemExit("no benchmark configuration succeeded")
     bestcfg = max(results, key=lambda r: r["clouds_per_sec_p50"])
     value = bestcfg["clouds_per_sec_p50"]
+
+    detail = {
+        "flagship": FLAGSHIP,
+        "backend": jax.default_backend(),
+        "best_batch": bestcfg["batch"],
+        "p50_per_cloud_ms": round(bestcfg["p50_per_cloud_ms"], 4),
+        "baseline": "TABLE I: 160-cloud batch / 1.015 s on "
+        "6-GPU node = 157.6 clouds/s",
+    }
+    if not quick:
+        try:
+            seg = bench_partseg()
+            print(f"# partseg: {seg}", file=sys.stderr)
+            detail["partseg_clouds_per_sec"] = round(
+                seg["clouds_per_sec_p50"], 1
+            )
+            detail["partseg_p50_per_cloud_ms"] = round(
+                seg["p50_per_cloud_ms"], 4
+            )
+        except Exception as e:
+            print(f"# partseg failed: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -120,16 +203,7 @@ def main():
                 "value": round(value, 1),
                 "unit": "clouds/s",
                 "vs_baseline": round(value / BASELINE_CLOUDS_PER_SEC, 2),
-                "detail": {
-                    "flagship": FLAGSHIP,
-                    "backend": jax.default_backend(),
-                    "best_batch": bestcfg["batch"],
-                    "p50_per_cloud_ms": round(
-                        bestcfg["p50_per_cloud_ms"], 4
-                    ),
-                    "baseline": "TABLE I: 160-cloud batch / 1.015 s on "
-                    "6-GPU node = 157.6 clouds/s",
-                },
+                "detail": detail,
             }
         )
     )

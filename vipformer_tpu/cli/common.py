@@ -14,7 +14,20 @@ from vipformer_tpu.train.logging import Logger, RunDir
 
 def setup(cfg: Config, snapshot_sources: bool = True):
     """Run directory + logger + device mesh (replaces the reference's
-    `utils.init` + `mp.spawn` + process-group setup)."""
+    `utils.init` + `mp.spawn` + process-group setup).
+
+    Multi-host: when JAX coordinator env vars are present
+    (JAX_COORDINATOR_ADDRESS etc., set by TPU pod launchers),
+    jax.distributed.initialize() joins the job before the mesh is built —
+    the NCCL process-group equivalent.
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
     run = RunDir(cfg.run_dir, cfg.proj_name, cfg.exp_name)
     logger = Logger(run, cfg.proj_name, to_file=cfg.log_to_file)
     mesh = make_mesh(cfg.num_devices, cfg.model_axis)

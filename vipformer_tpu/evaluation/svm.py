@@ -26,11 +26,11 @@ Array = jax.Array
 
 @dataclass
 class LinearSVM:
-    w: np.ndarray  # [D, K]
-    b: np.ndarray  # [K]
+    w: np.ndarray | None  # [D, K]
+    b: np.ndarray | None  # [K]
     mean: np.ndarray | None = None
     scale: np.ndarray | None = None
-    _sk=None
+    _sk: object = None  # sklearn SVC when backend="sklearn"
 
     def decision(self, feats: np.ndarray) -> np.ndarray:
         if self._sk is not None:
