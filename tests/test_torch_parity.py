@@ -1,0 +1,311 @@
+"""Golden numerical parity vs. the reference's own torch modules.
+
+These tests import the reference implementation (read-only, CPU torch),
+copy its randomly-initialized weights into our flax modules, and compare
+forward outputs on identical inputs in eval mode. This pins layer-for-layer
+behavioral equivalence far more strongly than shape tests.
+
+The full point-cloud model is *not* compared end-to-end: our
+`divide_patches` deliberately implements the reference's documented intent
+rather than its accidental group-axis slice (see ops/geometry.py), so the
+stems differ by design. Everything downstream of the patch stem is covered.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference model package with stubs for its absent deps."""
+    torch = pytest.importorskip("torch")
+    sys.modules.setdefault("imp", types.ModuleType("imp"))
+    fairscale = types.ModuleType("fairscale")
+    fnn = types.ModuleType("fairscale.nn")
+    fnn.checkpoint_wrapper = lambda m: m
+    fairscale.nn = fnn
+    sys.modules.setdefault("fairscale", fairscale)
+    sys.modules.setdefault("fairscale.nn", fnn)
+    timm = types.ModuleType("timm")
+    tm = types.ModuleType("timm.models")
+    tl = types.ModuleType("timm.models.layers")
+
+    import torch.nn as tnn
+
+    class DropPath(tnn.Module):
+        def __init__(self, p=0.0):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    tl.DropPath = DropPath
+    sys.modules.setdefault("timm", timm)
+    sys.modules.setdefault("timm.models", tm)
+    sys.modules.setdefault("timm.models.layers", tl)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import vipformer.model.pointcloud.partseg as ref_partseg
+    import vipformer.model.pointcloud.utils as ref_utils
+    import vipformer.model.pointcloud.classifier as ref_classifier
+
+    return types.SimpleNamespace(
+        partseg=ref_partseg, utils=ref_utils, classifier=ref_classifier,
+        torch=torch,
+    )
+
+
+def t2n(t):
+    return t.detach().numpy()
+
+
+def lin(mod):  # torch Linear -> flax Dense dict
+    out = {"kernel": t2n(mod.weight).T}
+    if mod.bias is not None:
+        out["bias"] = t2n(mod.bias)
+    return out
+
+
+def ln(mod):  # torch LayerNorm -> flax LayerNorm dict
+    return {"scale": t2n(mod.weight), "bias": t2n(mod.bias)}
+
+
+def bn(mod):  # torch BatchNorm1d -> flax BatchNorm params + stats
+    params = {"scale": t2n(mod.weight), "bias": t2n(mod.bias)}
+    stats = {"mean": t2n(mod.running_mean), "var": t2n(mod.running_var)}
+    return params, stats
+
+
+def conv1d(mod):  # torch Conv1d(k=1) -> flax Dense dict
+    out = {"kernel": t2n(mod.weight)[:, :, 0].T}
+    if mod.bias is not None:
+        out["bias"] = t2n(mod.bias)
+    return out
+
+
+def mha_params(tm):
+    return {
+        "q_proj": lin(tm.q_proj),
+        "k_proj": lin(tm.k_proj),
+        "v_proj": lin(tm.v_proj),
+        "o_proj": lin(tm.o_proj),
+    }
+
+
+def mlp_params(tm):  # reference MLP Sequential: [LN, Linear, GELU, Linear]
+    return {
+        "LayerNorm_0": ln(tm[0]),
+        "Dense_0": lin(tm[1]),
+        "Dense_1": lin(tm[3]),
+    }
+
+
+def ca_layer_params(tl_):  # reference CrossAttentionLayer Sequential
+    cross = tl_[0].module  # Residual -> CrossAttention
+    return {
+        "CrossAttention_0": {
+            "q_norm": ln(cross.q_norm),
+            "kv_norm": ln(cross.kv_norm),
+            "attention": mha_params(cross.attention),
+        },
+        "MLP_0": mlp_params(tl_[1].module),
+    }
+
+
+def sa_layer_params(tl_):  # reference SelfAttentionLayer Sequential
+    sa = tl_[0].module
+    return {
+        "SelfAttention_0": {
+            "norm": ln(sa.norm),
+            "attention": mha_params(sa.attention),
+        },
+        "MLP_0": mlp_params(tl_[1].module),
+    }
+
+
+def test_mha_parity(ref, rng):
+    torch = ref.torch
+    tm = ref.partseg.MultiHeadAttention(
+        num_heads=2, num_q_input_channels=32, num_kv_input_channels=32,
+        num_latent_channels=32, dropout=0.0,
+    ).eval()
+    from vipformer_tpu.nn.layers import MultiHeadAttention
+
+    fm = MultiHeadAttention(num_heads=2, num_qk_channels=32,
+                            num_v_channels=32, num_output_channels=32)
+    xq = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    xkv = rng.standard_normal((2, 9, 32)).astype(np.float32)
+    want = t2n(tm(torch.tensor(xq), torch.tensor(xkv)))
+    got = fm.apply(
+        {"params": mha_params(tm)}, jnp.asarray(xq), jnp.asarray(xkv)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_sa_layer_parity(ref, rng):
+    torch = ref.torch
+    tl_ = ref.partseg.SelfAttentionLayer(
+        num_heads=2, num_latent_channels=32, widening_factor=2,
+        drop_path_rate=0.0, atten_drop=0.0, mlp_drop=0.0,
+    ).eval()
+    from vipformer_tpu.nn.layers import SelfAttentionLayer
+
+    fm = SelfAttentionLayer(num_heads=2, widening_factor=2)
+    x = rng.standard_normal((2, 7, 32)).astype(np.float32)
+    want = t2n(tl_(torch.tensor(x)))
+    got = fm.apply({"params": sa_layer_params(tl_)}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_mp_encoder_parity(ref, rng):
+    torch = ref.torch
+    te = ref.partseg.Encoder(
+        num_latent_channels=32, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, cross_attention_widening_factor=2,
+        num_self_attention_layers=3, num_self_attention_heads=2,
+        self_attention_widening_factor=2, dpr_list=[0.0, 0.0, 0.0],
+        atten_drop=0.0, mlp_drop=0.0, modal_prior=True,
+    ).eval()
+    from vipformer_tpu.models.crossformer import MPEncoder
+
+    fe = MPEncoder(
+        num_latent_channels=32, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, cross_attention_widening_factor=2,
+        num_self_attention_layers=3, num_self_attention_heads=2,
+        self_attention_widening_factor=2, modal_prior=True,
+    )
+    params = {"cross_attn_n": ca_layer_params(te.cross_attn_1)}
+    for i, sa in enumerate(te.sa_layers):
+        params[f"sa_{i}"] = sa_layer_params(sa)
+
+    g = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    p = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    pts = rng.standard_normal((2, 11, 32)).astype(np.float32)
+    want = t2n(te(torch.tensor(g), torch.tensor(p), torch.tensor(pts)))
+    got = fe.apply(
+        {"params": params}, jnp.asarray(g), jnp.asarray(p), jnp.asarray(pts)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5)
+
+
+def test_mp_encoder_layer_taps_parity(ref, rng):
+    torch = ref.torch
+    te = ref.partseg.Encoder(
+        num_latent_channels=32, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, cross_attention_widening_factor=2,
+        num_self_attention_layers=4, num_self_attention_heads=2,
+        self_attention_widening_factor=2, dpr_list=[0.0] * 4,
+        atten_drop=0.0, mlp_drop=0.0, modal_prior=False,
+    ).eval()
+    from vipformer_tpu.models.crossformer import MPEncoder
+
+    fe = MPEncoder(
+        num_latent_channels=32, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, cross_attention_widening_factor=2,
+        num_self_attention_layers=4, num_self_attention_heads=2,
+        self_attention_widening_factor=2, modal_prior=False,
+        layer_idx=(1, 2, 4),
+    )
+    params = {"cross_attn_n": ca_layer_params(te.cross_attn_1)}
+    for i, sa in enumerate(te.sa_layers):
+        params[f"sa_{i}"] = sa_layer_params(sa)
+
+    g = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    p = rng.standard_normal((2, 6, 32)).astype(np.float32)
+    pts = rng.standard_normal((2, 11, 32)).astype(np.float32)
+    want = [
+        t2n(x)
+        for x in te(torch.tensor(g), torch.tensor(p), torch.tensor(pts),
+                    layer_idx=[1, 2, 4])
+    ]
+    got = fe.apply(
+        {"params": params}, jnp.asarray(g), jnp.asarray(p), jnp.asarray(pts)
+    )
+    assert len(got) == 3
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), b, atol=5e-5)
+
+
+def test_group2emb_parity(ref, rng):
+    torch = ref.torch
+    tm = ref.utils.Group2Emb(dim_model=32).eval()
+    from vipformer_tpu.nn.pointnet import Group2Emb
+
+    fm = Group2Emb(32)
+    p1, s1 = bn(tm.first_conv[1])
+    p2, s2 = bn(tm.second_conv[1])
+    params = {
+        "Dense_0": conv1d(tm.first_conv[0]),
+        "BatchNorm_0": p1,
+        "Dense_1": conv1d(tm.first_conv[3]),
+        "Dense_2": conv1d(tm.second_conv[0]),
+        "BatchNorm_1": p2,
+        "Dense_3": conv1d(tm.second_conv[3]),
+    }
+    stats = {"BatchNorm_0": s1, "BatchNorm_1": s2}
+    x = rng.standard_normal((2, 4, 8, 3)).astype(np.float32)
+    want = t2n(tm(torch.tensor(x)))
+    got = fm.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x), True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_input_adapter_parity(ref, rng):
+    torch = ref.torch
+    tm = ref.classifier.PointCloudInputAdapter(
+        pointcloud_shape=(64, 3), num_input_channels=32
+    ).eval()
+    from vipformer_tpu.nn.pointnet import PointCloudInputAdapter
+
+    fm = PointCloudInputAdapter(32)
+    params = {
+        "Dense_0": lin(tm.point_mlp[0]),
+        "LayerNorm_0": ln(tm.point_mlp[1]),
+        "Dense_1": lin(tm.point_mlp[3]),
+    }
+    x = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    want = t2n(tm(torch.tensor(x)))
+    got = fm.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_latent_head_parity(ref, rng):
+    """Contrastive projection head: BN/ReLU/Linear x2 (partseg.py:519-525)."""
+    torch = ref.torch
+    tnn = torch.nn
+    tm = tnn.Sequential(
+        tnn.BatchNorm1d(64), tnn.ReLU(),
+        tnn.Linear(64, 32, bias=False),
+        tnn.BatchNorm1d(32), tnn.ReLU(),
+        tnn.Linear(32, 32, bias=False),
+    ).eval()
+    from vipformer_tpu.nn.perceiver import LatentFeatsHead
+
+    fm = LatentFeatsHead(32)
+    p0, s0 = bn(tm[0])
+    p1, s1 = bn(tm[3])
+    params = {
+        "BatchNorm_0": p0, "Dense_0": lin(tm[2]),
+        "BatchNorm_1": p1, "Dense_1": lin(tm[5]),
+    }
+    stats = {"BatchNorm_0": s0, "BatchNorm_1": s1}
+    x = rng.standard_normal((4, 64)).astype(np.float32)
+    want = t2n(tm(torch.tensor(x)))
+    got = fm.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x), True
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
