@@ -1,0 +1,20 @@
+.PHONY: test bench viz profile clean
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+bench-quick:
+	python bench.py --quick
+
+viz:
+	sh tools/visualization/build_render_balls.sh
+
+profile:
+	python tools/profile_forward.py 256 1024
+
+clean:
+	rm -rf runs /tmp/vipformer_jax_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +
