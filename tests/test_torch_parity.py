@@ -309,3 +309,55 @@ def test_latent_head_parity(ref, rng):
         {"params": params, "batch_stats": stats}, jnp.asarray(x), True
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_img_model_full_parity(ref, rng):
+    """The image branch has no patch-stem deviation, so the FULL model
+    (patchify + learned pos-emb + encoder + pooled latent head) must match
+    the reference end-to-end under weight transplant."""
+    torch = ref.torch
+    tm = ref.partseg.CrossFormer_img_mp(
+        img_height=24, img_width=24, patch_size=12, num_latent_channels=32,
+        num_cross_attention_layers=1, num_cross_attention_heads=2,
+        num_self_attention_layers=2, num_self_attention_heads=2,
+        mlp_widen_factor=2, max_dpr=0.0, atten_drop=0.0, mlp_drop=0.0,
+        modal_prior=True,
+    ).eval()
+    from vipformer_tpu.models.crossformer import CrossFormerImg
+
+    fm = CrossFormerImg(
+        img_height=24, img_width=24, patch_size=12, num_latent_channels=32,
+        num_cross_attention_layers=1, num_cross_attention_heads=2,
+        num_self_attention_layers=2, num_self_attention_heads=2,
+        mlp_widen_factor=2, max_dpr=0.0, atten_drop=0.0, mlp_drop=0.0,
+    )
+    enc = {"cross_attn_n": ca_layer_params(tm.encoder.cross_attn_1)}
+    for i, sa in enumerate(tm.encoder.sa_layers):
+        enc[f"sa_{i}"] = sa_layer_params(sa)
+    h0, s0 = bn(tm.latent_head[0])
+    h1, s1 = bn(tm.latent_head[3])
+    params = {
+        "patch2emb": {
+            "Dense_0": lin(tm.patch2emb[1]),
+            "position_emb": t2n(tm.position_emb),
+        },
+        "encoder": enc,
+        "latent_head": {
+            "BatchNorm_0": h0,
+            "Dense_0": lin(tm.latent_head[2]),
+            "BatchNorm_1": h1,
+            "Dense_1": lin(tm.latent_head[5]),
+        },
+    }
+    stats = {"latent_head": {"BatchNorm_0": s0, "BatchNorm_1": s1}}
+    imgs = rng.standard_normal((2, 24, 24, 3)).astype(np.float32)
+    want_proj, want_feats = tm(torch.tensor(imgs))
+    got_proj, got_feats = fm.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(imgs)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_feats), t2n(want_feats), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_proj), t2n(want_proj), atol=1e-4
+    )
