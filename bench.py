@@ -27,6 +27,9 @@ import jax
 import jax.numpy as jnp
 
 from vipformer_tpu.config import Config, decode_arch_name
+from vipformer_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
 from vipformer_tpu.models import build_ft_cls
 
 BASELINE_CLOUDS_PER_SEC = 160.0 / 1.015  # reference TABLE I latency row

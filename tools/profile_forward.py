@@ -21,6 +21,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from vipformer_tpu.utils.cache import enable_compile_cache
+
+enable_compile_cache()
+
 from vipformer_tpu.config import Config, decode_arch_name
 from vipformer_tpu.models import build_pc_model
 from vipformer_tpu.ops import geometry

@@ -23,6 +23,9 @@ def setup(cfg: Config, snapshot_sources: bool = True):
     """
     import os
 
+    from vipformer_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
         try:
             jax.distributed.initialize()
