@@ -33,7 +33,12 @@ def main(cfg: Config) -> dict:
     ]
     pool = ds_cls(cfg.data_dir, "train", cfg.num_test_points)
 
-    model = build_pc_model(cfg)
+    if cfg.fewshot_model == "ft":
+        from vipformer_tpu.models import build_ft_cls
+
+        model = build_ft_cls(cfg)  # backbone_feats of the finetuned model
+    else:
+        model = build_pc_model(cfg)
     sample_pts, _ = pool.get(0)
     params, stats = init_variables(
         model, (jnp.asarray(sample_pts[None]),), cfg.seed

@@ -105,6 +105,8 @@ class Config:
     k_way: int = 5
     n_shot: int = 10
     n_query: int = 20
+    fewshot_model: str = "pretrain"  # pretrain | ft (the reference's two
+    # commented variants, eval_fewshot.py:23-26)
 
     # --- TPU-native knobs (no reference equivalent)
     compute_dtype: str = "bfloat16"  # bf16 compute replaces AMP/GradScaler
