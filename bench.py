@@ -163,9 +163,93 @@ def bench_partseg(batch_size: int = 128, reps: int = 5):
     }
 
 
+def bench_train_step(batch_size: int = 192, reps: int = 4):
+    """Full dual-branch pretrain-step throughput (fwd+bwd+optimizer for the
+    pc and img branches, IMID+CMID NT-Xent). Reference baseline: 22.2 s per
+    epoch over ~43k ShapeNetRender samples on the 6-GPU node (TABLE I)
+    = ~1,940 clouds/s node-wide."""
+    from vipformer_tpu.models import build_img_model, build_pc_model
+    from vipformer_tpu.train import (
+        create_state, init_variables, make_pretrain_step,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Config(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        img_height=144, img_width=144, patch_size=12,
+        optim="adamw", lr=1e-3, max_dpr=0.0, atten_drop=0.1, mlp_drop=0.5,
+        batch_size=batch_size,
+        **decode_arch_name(FLAGSHIP),
+    )
+    pc_model = build_pc_model(cfg)
+    img_model = build_img_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "pc_t1": jnp.asarray(
+            rng.standard_normal((batch_size, 2048, 3)), dtype=jnp.float32
+        ),
+        "pc_t2": jnp.asarray(
+            rng.standard_normal((batch_size, 2048, 3)), dtype=jnp.float32
+        ),
+        "imgs": jnp.asarray(
+            rng.standard_normal((batch_size, 144, 144, 3)),
+            dtype=jnp.float32,
+        ),
+    }
+    pc_params, pc_stats = init_variables(pc_model, (batch["pc_t1"],))
+    img_params, img_stats = init_variables(img_model, (batch["imgs"],))
+    state, tx = create_state(
+        cfg,
+        {"pc": pc_params, "img": img_params},
+        {"pc": pc_stats, "img": img_stats},
+    )
+    step = make_pretrain_step(cfg, pc_model, img_model, tx, neg_groups=1)
+
+    key = jax.random.key(0)
+    state, m = step(state, batch, 1e-3, key)  # compile
+    float(m["loss"])  # barrier
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            state, m = step(state, batch, 1e-3, key)
+        float(m["loss"])  # barrier through the scalar fetch
+        times.append((time.perf_counter() - t0) / 4)
+    sec = float(np.median(times))
+    return {
+        "batch": batch_size,
+        "step_s": sec,
+        "clouds_per_sec": batch_size / sec,
+        "epoch_43k_s": 43000 / (batch_size / sec),
+    }
+
+
 def main():
     quick = "--quick" in sys.argv
-    batches = [256] if quick else [128, 256, 512]
+    # measured sweep on v5e: per-cloud latency is best at small batches
+    # (0.083 ms @ 64 vs 0.103 ms @ 512 - the kNN k-selection grows
+    # super-linearly); 512 dropped from the default sweep
+    if "--train" in sys.argv:
+        out = bench_train_step()
+        print(
+            json.dumps(
+                {
+                    "metric": "pretrain_clouds_per_sec_per_chip_2048pt",
+                    "value": round(out["clouds_per_sec"], 1),
+                    "unit": "clouds/s",
+                    "vs_baseline": round(
+                        out["clouds_per_sec"] / (43000 / 22.2), 2
+                    ),
+                    "detail": {
+                        **{k: round(v, 3) for k, v in out.items()},
+                        "baseline": "TABLE I: 22.2 s/epoch over ~43k "
+                        "samples on 6-GPU node = 1,937 clouds/s",
+                    },
+                }
+            )
+        )
+        return
+    batches = [256] if quick else [32, 64, 128, 256]
     results = []
     for b in batches:
         try:
