@@ -50,11 +50,13 @@ def tiny_cfg(tmp_path, **kw):
 def test_pretrain_cli(tmp_path):
     from vipformer_tpu.cli import pretrain
 
-    cfg = tiny_cfg(tmp_path, exp_name="pt")
+    cfg = tiny_cfg(tmp_path, exp_name="pt", save_freq=1)
     out = pretrain.main(cfg)
     assert 0.0 <= out["best_acc"] <= 1.0
-    ckpt = tmp_path / "runs" / cfg.proj_name / "pt" / "models" / "pc_model_best.ckpt"
-    assert ckpt.exists()
+    models = tmp_path / "runs" / cfg.proj_name / "pt" / "models"
+    assert (models / "pc_model_best.ckpt").exists()
+    # periodic save_freq checkpoints too
+    assert (models / "pc_model_epoch0.ckpt").exists()
     # resume continues from the checkpoint without error
     out2 = pretrain.main(cfg.replace(resume=True, epochs=3))
     assert out2["best_epoch"] >= 0
