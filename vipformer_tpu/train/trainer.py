@@ -107,6 +107,27 @@ def _rngs(key, n=2):
     return {"dropout": ks[0], "fps": ks[1]}
 
 
+def _make_step(loss_fn, tx):
+    """Wrap a loss_fn(params, batch_stats, batch, key) -> (loss, (stats,
+    metrics)) into a jitted, state-donating optimizer step."""
+
+    def step(state: TrainState, batch, lr, key):
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, key)
+        opt_state = set_learning_rate(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        return (
+            TrainState(params, new_stats, opt_state, state.step + 1),
+            metrics,
+        )
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
 # ---------------------------------------------------------------------------
 # pretraining (reference pretrain.py:158-226)
 
@@ -154,21 +175,7 @@ def make_pretrain_step(cfg: Config, pc_model, img_model, tx, neg_groups: int):
         )
         return total, (new_stats, metrics)
 
-    def step(state: TrainState, batch, lr, key):
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, key)
-        opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
-        )
-        return (
-            TrainState(params, new_stats, opt_state, state.step + 1),
-            metrics,
-        )
-
-    return jax.jit(step, donate_argnums=(0,))
+    return _make_step(loss_fn, tx)
 
 
 def make_feats_fn(model):
@@ -201,18 +208,7 @@ def make_cls_step(cfg: Config, model, tx):
         )
         return loss, (new_stats, {"loss": loss, "acc": acc})
 
-    def step(state, batch, lr, key):
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, key)
-        opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
-        )
-        return TrainState(params, new_stats, opt_state, state.step + 1), metrics
-
-    return jax.jit(step, donate_argnums=(0,))
+    return _make_step(loss_fn, tx)
 
 
 def make_cls_eval(model):
@@ -255,18 +251,7 @@ def make_partseg_step(cfg: Config, model, tx):
         acc = jnp.mean((refined == batch["seg"]).astype(jnp.float32))
         return loss, (new_stats, {"loss": loss, "acc": acc})
 
-    def step(state, batch, lr, key):
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, key)
-        opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
-        )
-        return TrainState(params, new_stats, opt_state, state.step + 1), metrics
-
-    return jax.jit(step, donate_argnums=(0,))
+    return _make_step(loss_fn, tx)
 
 
 def make_partseg_eval(model):
@@ -310,18 +295,7 @@ def make_semseg_step(cfg: Config, model, tx):
         )
         return loss, (new_stats, {"loss": loss, "acc": acc})
 
-    def step(state, batch, lr, key):
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, key)
-        opt_state = set_learning_rate(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
-        params = jax.tree_util.tree_map(
-            lambda p, u: p + u, state.params, updates
-        )
-        return TrainState(params, new_stats, opt_state, state.step + 1), metrics
-
-    return jax.jit(step, donate_argnums=(0,))
+    return _make_step(loss_fn, tx)
 
 
 def make_semseg_eval(model):
