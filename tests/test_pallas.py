@@ -93,3 +93,25 @@ def test_mxu_gather_grad_is_scatter_add(rng):
     g = np.asarray(jax.grad(f)(pts))
     g_ref = np.asarray(jax.grad(f_ref)(pts))
     np.testing.assert_allclose(g, g_ref, atol=1e-5)
+
+
+def test_knn_pallas_matches_packed(rng):
+    from vipformer_tpu.ops.geometry import knn
+    from vipformer_tpu.ops.pallas.knn import knn_pallas
+
+    pts = jnp.asarray(rng.standard_normal((3, 256, 3)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((3, 32, 3)).astype(np.float32))
+    want = np.asarray(knn(16, pts, q, method="packed"))
+    got = np.asarray(knn_pallas(16, pts, q, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_knn_pallas_self_queries(rng):
+    """Queries drawn from the point set (the FPS-center case): each query's
+    own index must appear first."""
+    from vipformer_tpu.ops.pallas.knn import knn_pallas
+
+    pts = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    q = pts[:, :8]
+    got = np.asarray(knn_pallas(4, pts, q, interpret=True))
+    np.testing.assert_array_equal(got[:, :, 0], np.arange(8)[None].repeat(2, 0))

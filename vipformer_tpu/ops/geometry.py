@@ -42,8 +42,12 @@ def square_distance(src: Array, dst: Array) -> Array:
     """
     src = src.astype(jnp.float32)
     dst = dst.astype(jnp.float32)
+    # HIGHEST: TPU's default f32 dot is a single bf16 pass, whose ~0.5%
+    # error is enough to flip kNN selections at the k boundary; the C=3
+    # contraction is tiny so full precision is effectively free
     inner = jnp.einsum(
-        "bnc,bmc->bnm", src, dst, preferred_element_type=jnp.float32
+        "bnc,bmc->bnm", src, dst, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     s2 = jnp.sum(src * src, axis=-1)[:, :, None]
     d2 = jnp.sum(dst * dst, axis=-1)[:, None, :]
@@ -104,7 +108,11 @@ def knn(k: int, points: Array, queries: Array, method: str | None = None) -> Arr
     """
     method = method or KNN_METHOD
     if method is None:
-        method = "packed" if jax.default_backend() == "tpu" else "exact"
+        method = "pallas" if jax.default_backend() == "tpu" else "exact"
+    if method == "pallas":
+        from vipformer_tpu.ops.pallas.knn import knn_pallas
+
+        return knn_pallas(k, points[..., :3], queries[..., :3])
     d = square_distance(queries, points)
     if method == "exact":
         _, idx = jax.lax.top_k(-d, k)

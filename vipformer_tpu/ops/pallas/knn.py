@@ -1,0 +1,86 @@
+"""Pallas TPU kernel: fused kNN (pairwise distances + top-k selection).
+
+The XLA path materializes the [B, S, N] distance matrix in HBM and runs a
+full bitonic sort per row (~8 ms at [256, 128, 1024], the largest op in the
+patch pipeline). This kernel keeps everything in VMEM per batch row:
+
+* distances via one MXU matmul (|q|^2 + |p|^2 - 2 q.p^T),
+* keys packed as (distance bits | point index) — non-negative f32 bit
+  patterns order like the floats, and unique index bits make every key
+  distinct, so min-extraction needs no tie handling,
+* k iterations of {min, first-index-of-min, mask} — pure VPU passes over
+  the resident [S, N] key block; selected indices accumulate in registers
+  via one-hot adds (same pattern as the FPS kernel).
+
+Matches ops.geometry.knn(method="packed") exactly (same key construction).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _knn_kernel(k: int, idx_bits: int, q_ref, pt_ref, out_ref):
+    q = q_ref[0].astype(jnp.float32)  # [S, 3]
+    pt = pt_ref[0].astype(jnp.float32)  # [3, N] (transposed on host side)
+    s = q.shape[0]
+    n = pt.shape[1]
+    # exact f32 difference-of-squares on the VPU (the matmul identity loses
+    # ~bf16 precision on the MXU and flips selections at the k boundary)
+    d = jnp.zeros((s, n), jnp.float32)
+    for c in range(3):
+        delta = q[:, c : c + 1] - pt[c : c + 1, :]  # [S, N]
+        d = d + delta * delta
+    mask = (1 << idx_bits) - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (s, n), 1)
+    keys = (pltpu.bitcast(d, jnp.int32) & ~mask) | col
+
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1)
+    acc0 = jnp.zeros((s, k), dtype=jnp.int32)
+
+    def body(i, carry):
+        keys, acc = carry
+        m = jnp.min(keys, axis=-1, keepdims=True)  # [S, 1]
+        eq = keys == m  # exactly one hit per row (keys are unique)
+        idx = jnp.min(jnp.where(eq, col, n), axis=-1)  # [S]
+        acc = acc + jnp.where(out_col == i, (idx & mask)[:, None], 0)
+        keys = jnp.where(eq, INT_MAX, keys)
+        return keys, acc
+
+    _, acc = jax.lax.fori_loop(0, k, body, (keys, acc0))
+    out_ref[0] = acc
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def knn_pallas(
+    k: int, points: Array, queries: Array, interpret: bool = False
+) -> Array:
+    """Indices of the k nearest points [B, N, 3] for queries [B, S, 3]
+    -> int32 [B, S, k], nearest-first."""
+    b, n, _ = points.shape
+    s = queries.shape[1]
+    idx_bits = max(1, (n - 1).bit_length())
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    points_t = jnp.swapaxes(points[..., :3].astype(jnp.float32), 1, 2)
+    return pl.pallas_call(
+        partial(_knn_kernel, k, idx_bits),
+        out_shape=jax.ShapeDtypeStruct((b, s, k), jnp.int32),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, 3), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, s, k), lambda i: (i, 0, 0), memory_space=ms
+        ),
+        interpret=interpret,
+    )(queries[..., :3].astype(jnp.float32), points_t)
