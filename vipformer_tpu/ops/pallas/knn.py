@@ -49,11 +49,10 @@ def _knn_kernel(k: int, idx_bits: int, q_ref, pt_ref, out_ref):
 
     def body(i, carry):
         keys, acc = carry
+        # one reduce yields BOTH the min distance and its index (low bits)
         m = jnp.min(keys, axis=-1, keepdims=True)  # [S, 1]
-        eq = keys == m  # exactly one hit per row (keys are unique)
-        idx = jnp.min(jnp.where(eq, col, n), axis=-1)  # [S]
-        acc = acc + jnp.where(out_col == i, (idx & mask)[:, None], 0)
-        keys = jnp.where(eq, INT_MAX, keys)
+        acc = acc + jnp.where(out_col == i, m & mask, 0)
+        keys = jnp.where(keys == m, INT_MAX, keys)
         return keys, acc
 
     _, acc = jax.lax.fori_loop(0, k, body, (keys, acc0))
