@@ -128,7 +128,6 @@ def bench_partseg(batch_size: int = 128, reps: int = 5):
     onehot = jnp.zeros((batch_size, 16), jnp.float32)
     variables = model.init({"params": jax.random.key(0)}, pts, onehot)
 
-    from functools import partial
 
     @jax.jit
     def chain(v, x, k):

@@ -82,7 +82,7 @@ def fused_attention(
     qf = q.reshape(b * h, g, dh)
     kf = k.reshape(b * h, m, dh)
     vf = v.reshape(b * h, m, dv)
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
 
     out = pl.pallas_call(
         partial(_mha_kernel, scale),

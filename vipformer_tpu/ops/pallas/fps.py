@@ -88,7 +88,7 @@ def fps_pallas(
         block_rows = 1  # fallback for ragged batches
 
     grid = (b // block_rows,)
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     plane_spec = pl.BlockSpec(
         (block_rows, n), lambda i: (i, 0), memory_space=ms
     )

@@ -112,7 +112,7 @@ def _gather_impl(points, idx, rows, interpret):
     idx, _, k0, k = _pad_k(idx)
     rows = _pick_rows(k // 128, rows)
     idx3 = idx.astype(jnp.int32).reshape(b, k // 128, 128)
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     out = pl.pallas_call(
         _gather_kernel,
         out_shape=jax.ShapeDtypeStruct((b, k // 128, 128, c), points.dtype),
@@ -136,7 +136,7 @@ def _scatter_impl(g, idx, points_shape, dtype, rows, interpret):
     rows = _pick_rows(k // 128, rows)
     idx3 = idx.astype(jnp.int32).reshape(b, k // 128, 128)
     g4 = g.reshape(b, k // 128, 128, c)
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         _scatter_kernel,
         out_shape=jax.ShapeDtypeStruct((b, n, c), dtype),

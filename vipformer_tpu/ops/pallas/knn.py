@@ -68,7 +68,7 @@ def knn_pallas(
     b, n, _ = points.shape
     s = queries.shape[1]
     idx_bits = max(1, (n - 1).bit_length())
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     points_t = jnp.swapaxes(points[..., :3].astype(jnp.float32), 1, 2)
     return pl.pallas_call(
         partial(_knn_kernel, k, idx_bits),

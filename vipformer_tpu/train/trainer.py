@@ -17,8 +17,7 @@ TPU design (vs. the reference's per-rank DDP loops, SURVEY.md §2.6):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
