@@ -184,3 +184,52 @@ def test_pad_batch():
     assert padded["x"].shape == (8, 2)
     assert mask.sum() == 5
     np.testing.assert_array_equal(padded["x"][5:], np.tile(batch["x"][-1:], (3, 1)))
+
+
+def test_rotate_perturbation_small_angles(rng):
+    pts = rng.standard_normal((50, 3)).astype(np.float32)
+    out = augment.random_rotate_perturbation(pts, np.random.default_rng(0))
+    # small perturbation: points move, norms preserved
+    assert not np.allclose(out, pts)
+    np.testing.assert_allclose(
+        np.linalg.norm(out, axis=1), np.linalg.norm(pts, axis=1), atol=1e-4
+    )
+
+
+def test_remove_invalid():
+    # reference semantics (data_utils.py:224-232): drop rows whose channel
+    # SUM equals the invalid value — both zero-sum rows go
+    pts = np.array([[1, 1, 1], [0, 0, 0], [2, -1, -1]], dtype=np.float32)
+    out = augment.remove_invalid(pts)
+    assert len(out) == 1
+    np.testing.assert_array_equal(out[0], [1, 1, 1])
+
+
+def test_random_crop_bounds(rng):
+    pts = rng.uniform(-1, 1, (5000, 3)).astype(np.float32)
+    out = augment.random_crop(pts, np.random.default_rng(1),
+                              min_num_points=1000)
+    assert 1000 <= len(out) <= len(pts)
+
+
+def test_random_cutout_removes_points(rng):
+    pts = rng.uniform(-1, 1, (5000, 3)).astype(np.float32)
+    out = augment.random_cutout(pts, np.random.default_rng(1),
+                                min_num_points=1000)
+    assert 1000 <= len(out) < len(pts)
+
+
+def test_upsample_pads_to_target(rng):
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    out = augment.upsample(pts, np.random.default_rng(0), 256)
+    assert out.shape == (256, 3)
+    np.testing.assert_array_equal(out[:100], pts)  # originals kept
+
+
+def test_random_sample(rng):
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    out = augment.random_sample(pts, np.random.default_rng(0), 32)
+    assert out.shape == (32, 3)
+    # every sampled point is an input point
+    for row in out:
+        assert np.min(np.sum((pts - row) ** 2, axis=1)) < 1e-12
