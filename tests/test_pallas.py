@@ -115,3 +115,31 @@ def test_knn_pallas_self_queries(rng):
     q = pts[:, :8]
     got = np.asarray(knn_pallas(4, pts, q, interpret=True))
     np.testing.assert_array_equal(got[:, :, 0], np.arange(8)[None].repeat(2, 0))
+
+
+def test_patchify_fused_matches_composition(rng):
+    from vipformer_tpu.ops.geometry import farthest_point_sample, index_points, knn
+    from vipformer_tpu.ops.pallas.patchify import fps_knn_pallas
+
+    xyz = jnp.asarray(rng.standard_normal((4, 128, 3)).astype(np.float32))
+    cidx, nidx = fps_knn_pallas(xyz, 16, 8, interpret=True)
+    want_c = np.asarray(farthest_point_sample(xyz, 16))
+    np.testing.assert_array_equal(np.asarray(cidx), want_c)
+    centers = index_points(xyz, jnp.asarray(want_c))
+    want_n = np.asarray(knn(8, xyz, centers, method="packed"))
+    got_n = np.asarray(nidx)
+    # neighbor sets must match; ordering ties only at sub-ulp distances
+    np.testing.assert_array_equal(np.sort(got_n, -1), np.sort(want_n, -1))
+
+
+def test_patchify_fused_random_start(rng):
+    from vipformer_tpu.ops.pallas.patchify import fps_knn_pallas
+
+    xyz = jnp.asarray(rng.standard_normal((2, 64, 3)).astype(np.float32))
+    start = jnp.asarray([5, 11], dtype=jnp.int32)
+    cidx, nidx = fps_knn_pallas(xyz, 8, 4, start, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cidx)[:, 0], np.asarray(start))
+    # each center's own index appears in its neighborhood
+    for b in range(2):
+        for gi in range(8):
+            assert int(cidx[b, gi]) in set(np.asarray(nidx)[b, gi].tolist())
