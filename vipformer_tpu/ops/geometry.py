@@ -228,21 +228,13 @@ def divide_patches(
     neighbor. Numerics therefore deviate from the reference implementation
     (deliberately) while matching its documented behavior.
     """
-    if _pallas_fps_enabled():
-        # fused FPS+kNN: one kernel, planes loaded once
-        from vipformer_tpu.ops.pallas.patchify import fps_knn_pallas
-
-        if key is None:
-            start = None
-        else:
-            start = jax.random.randint(
-                key, (points.shape[0],), 0, points.shape[1], dtype=jnp.int32
-            )
-        cidx, idx = fps_knn_pallas(points, num_groups, group_size, start)
-        centers = index_points(points, cidx)
-    else:
-        centers = fps(points, num_groups, key)
-        idx = knn(group_size, points[..., :3], centers[..., :3])
+    # NOTE: a fused FPS+kNN kernel exists (ops/pallas/patchify.py) but
+    # measured SLOWER than the separate kernels (23.2 vs 20.9 ms full
+    # forward at [256,1024]): its [Bt, G, N] key block exceeds comfortable
+    # VMEM residency, while the separate kNN kernel's per-row [G, N] blocks
+    # stay local. Kept as a documented experiment.
+    centers = fps(points, num_groups, key)
+    idx = knn(group_size, points[..., :3], centers[..., :3])
     # FPS/kNN select on f32 coordinates; the neighbor gather may run in the
     # consumer's compute dtype (values identical to gather-then-cast, and
     # exact for the MXU kernel at DEFAULT precision — see ops/pallas/gather)
