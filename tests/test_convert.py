@@ -106,3 +106,28 @@ def test_convert_consumes_all_keys_and_matches_shapes(ref_model):
     )
     proj, feats = out
     assert np.isfinite(np.asarray(proj)).all()
+
+
+def test_export_roundtrip_into_reference(ref_model, rng):
+    """our params -> torch state_dict -> reference load_state_dict(strict)
+    -> identical forward to weight-transplant expectations (round trip)."""
+    import torch
+    from convert_torch_ckpt import convert_pc_model
+    from export_torch_ckpt import export_pc_model
+
+    # start from the reference model's own weights, convert to ours,
+    # export back, and load strictly into a FRESH reference instance
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params, stats = convert_pc_model(sd, num_sa_layers=3, kind="pretrain")
+    back = export_pc_model(params, stats, kind="pretrain")
+    missing = set(sd) - set(back)
+    extra = set(back) - set(sd)
+    assert not missing, missing
+    assert not extra, extra
+    for k in sd:
+        np.testing.assert_array_equal(np.asarray(back[k]), sd[k]), k
+    # strict load proves layout compatibility
+    ref_model.load_state_dict(
+        {k: torch.tensor(np.asarray(v)) for k, v in back.items()},
+        strict=True,
+    )
