@@ -233,3 +233,12 @@ def test_random_sample(rng):
     # every sampled point is an input point
     for row in out:
         assert np.min(np.sum((pts - row) ** 2, axis=1)) < 1e-12
+
+
+def test_loader_len_semantics(tmp_path):
+    ds = ModelNet40SVM(str(tmp_path), "test", num_points=32)  # 200 samples
+    assert len(Loader(ds, 64, collate_cls, drop_last=True)) == 3
+    assert len(Loader(ds, 64, collate_cls, drop_last=False)) == 4
+    batches = list(Loader(ds, 64, collate_cls, drop_last=False))
+    assert len(batches) == 4
+    assert len(batches[-1]["points"]) == 200 - 3 * 64
