@@ -204,7 +204,9 @@ def bench_train_step(batch_size: int = 192, reps: int = 4):
     )
     step = make_pretrain_step(cfg, pc_model, img_model, tx, neg_groups=1)
 
-    key = jax.random.key(0)
+    from vipformer_tpu.utils.cache import train_key
+
+    key = train_key(0)
     state, m = step(state, batch, 1e-3, key)  # compile
     float(m["loss"])  # barrier
     times = []

@@ -104,7 +104,9 @@ def main(cfg: Config) -> dict:
         return {"best_acc": acc, "best_epoch": -1}
 
     best_acc, best_epoch = 0.0, -1
-    key = jax.random.key(cfg.seed)
+    from vipformer_tpu.utils.cache import train_key
+
+    key = train_key(cfg.seed)
     for epoch in range(cfg.epochs):
         lr = schedule.lr(epoch)
         train_loader.set_epoch(epoch)

@@ -78,7 +78,9 @@ def main(cfg: Config) -> dict:
 
     best = {"miou": 0.0}
     best_epoch = -1
-    key = jax.random.key(cfg.seed)
+    from vipformer_tpu.utils.cache import train_key
+
+    key = train_key(cfg.seed)
     for epoch in range(cfg.epochs):
         lr = schedule.lr(epoch)
         train_loader.set_epoch(epoch)

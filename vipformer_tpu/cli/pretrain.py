@@ -109,7 +109,9 @@ def main(cfg: Config) -> dict:
     schedule = Schedule(cfg)
 
     best_acc, best_epoch = 0.0, -1
-    key = jax.random.key(cfg.seed)
+    from vipformer_tpu.utils.cache import train_key
+
+    key = train_key(cfg.seed)
     for epoch in range(start_epoch, cfg.epochs):
         lr = schedule.lr(epoch)
         train_loader.set_epoch(epoch)
