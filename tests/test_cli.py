@@ -124,3 +124,11 @@ def test_eval_zeroshot_cli(tmp_path):
     out = eval_zeroshot.main(cfg)
     assert 0.0 <= out["linear_acc"] <= 1.0
     assert out["params"] > 0
+
+
+def test_pretrain_cli_device_augs(tmp_path):
+    from vipformer_tpu.cli import pretrain
+
+    cfg = tiny_cfg(tmp_path, exp_name="ptdev", epochs=1, device_augs=True)
+    out = pretrain.main(cfg)
+    assert 0.0 <= out["best_acc"] <= 1.0

@@ -60,11 +60,16 @@ def main(cfg: Config) -> dict:
     batch_size = round_up_batch(cfg.batch_size, mesh)
 
     train_set = ShapeNetRender(
-        cfg.data_dir, cfg.img_height, cfg.img_width, cfg.num_pt_points
+        cfg.data_dir, cfg.img_height, cfg.img_width, cfg.num_pt_points,
+        raw_views=cfg.device_augs,
     )
+    from vipformer_tpu.data import collate_pretrain_raw
+
     train_loader = Loader(
-        train_set, batch_size, collate_pretrain, shuffle=True,
-        seed=cfg.seed, drop_last=True, num_workers=cfg.num_workers,
+        train_set, batch_size,
+        collate_pretrain_raw if cfg.device_augs else collate_pretrain,
+        shuffle=True, seed=cfg.seed, drop_last=True,
+        num_workers=cfg.num_workers,
     )
     probe_train, probe_test = probe_sets(cfg)
     logger.write(
@@ -78,8 +83,9 @@ def main(cfg: Config) -> dict:
     img_model = build_img_model(cfg) if use_img else None
 
     sample = next(iter(train_loader))
+    sample_pc = sample["pc_raw"] if cfg.device_augs else sample["pc_t1"]
     pc_params, pc_stats = init_variables(
-        pc_model, (jnp.asarray(sample["pc_t1"]),), cfg.seed
+        pc_model, (jnp.asarray(sample_pc),), cfg.seed
     )
     params = {"pc": pc_params}
     stats = {"pc": pc_stats}

@@ -114,6 +114,9 @@ class Config:
     model_axis: int = 1  # tensor-parallel axis size (1 = pure DP)
     global_negatives: bool = False  # NT-Xent negatives: per-shard (reference
     # faithful, pretrain.py:155) vs. cross-replica all-gathered
+    device_augs: bool = False  # run the two-view point augmentation chain
+    # on-device inside the train step (data/augment_device.py) instead of
+    # per-sample on the host
     remat: bool = False  # jax.checkpoint over attention blocks
     donate_state: bool = True
     fused_attention: bool = True  # Pallas fused attention when on TPU

@@ -10,6 +10,7 @@ from vipformer_tpu.data.pipeline import (
     collate_cls,
     collate_partseg,
     collate_pretrain,
+    collate_pretrain_raw,
     collate_semseg,
     pad_batch,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "collate_cls",
     "collate_partseg",
     "collate_pretrain",
+    "collate_pretrain_raw",
     "collate_semseg",
     "pad_batch",
     "load_ply",

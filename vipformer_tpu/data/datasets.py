@@ -106,9 +106,13 @@ class ShapeNetRender:
     """
 
     def __init__(self, data_dir, img_height=144, img_width=144,
-                 num_points=2048, synthetic_ok=True, synthetic_size=512):
+                 num_points=2048, synthetic_ok=True, synthetic_size=512,
+                 raw_views=False):
         self.img_height, self.img_width = img_height, img_width
         self.num_points = num_points
+        # raw_views=True ships the un-augmented cloud once; the two
+        # augmentation chains then run on-device (data/augment_device.py)
+        self.raw_views = raw_views
         self.paths = sorted(
             glob.glob(os.path.join(data_dir, "ShapeNet", "*", "*"))
         )
@@ -150,9 +154,11 @@ class ShapeNetRender:
         else:
             pad = rng.integers(0, len(raw), self.num_points - len(raw))
             raw = np.concatenate([raw, raw[pad]], axis=0)
+        im = augment.image_transform(img, rng, self.img_height, self.img_width)
+        if self.raw_views:
+            return raw.astype(np.float32), im
         t1 = augment.pretrain_transform(raw, rng)
         t2 = augment.pretrain_transform(raw, rng)
-        im = augment.image_transform(img, rng, self.img_height, self.img_width)
         return t1, t2, im
 
 

@@ -99,6 +99,12 @@ def collate_pretrain(samples):
     return {"pc_t1": t1, "pc_t2": t2, "imgs": imgs}
 
 
+def collate_pretrain_raw(samples):
+    raw = np.stack([s[0] for s in samples])
+    imgs = np.stack([s[1] for s in samples])
+    return {"pc_raw": raw, "imgs": imgs}
+
+
 def collate_cls(samples):
     pts = np.stack([s[0] for s in samples])
     labels = np.asarray([s[1] for s in samples], dtype=np.int64)

@@ -140,10 +140,19 @@ def make_pretrain_step(cfg: Config, pc_model, img_model, tx, neg_groups: int):
     modality = cfg.modality
     cmid_weight = cfg.cmid_weight
     groups = 1 if cfg.global_negatives else neg_groups
+    device_augs = cfg.device_augs
 
     def loss_fn(params, batch_stats, batch, key):
-        b = batch["pc_t1"].shape[0]
-        pc = jnp.concatenate([batch["pc_t1"], batch["pc_t2"]], axis=0)
+        if device_augs:
+            # raw clouds in, two augmented views made on-device
+            from vipformer_tpu.data.augment_device import pretrain_two_views
+
+            k_aug, key = jax.random.split(key)
+            t1_in, t2_in = pretrain_two_views(batch["pc_raw"], k_aug)
+        else:
+            t1_in, t2_in = batch["pc_t1"], batch["pc_t2"]
+        b = t1_in.shape[0]
+        pc = jnp.concatenate([t1_in, t2_in], axis=0)
         k_pc, k_img = jax.random.split(key)
         (pc_proj, _), pc_stats = _apply_train(
             pc_model, params["pc"], batch_stats["pc"], pc, _rngs(k_pc)
