@@ -473,3 +473,108 @@ def test_partseg_model_full_parity(ref, rng, monkeypatch):
         jnp.asarray(pts), jnp.asarray(onehot),
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def test_semseg_model_full_parity(ref, rng, monkeypatch):
+    """Full semantic-segmentation model vs the reference (xyz+rgb inputs,
+    shared patch decomposition). Our model omits the reference's dead unused
+    label_conv parameters (semseg.py:384-386) — everything that executes
+    must agree end-to-end."""
+    torch = ref.torch
+    import vipformer.model.pointcloud.semseg as ref_semseg
+    import vipformer_tpu.models.crossformer as our_cf
+
+    B, N, G, S, D, C = 2, 64, 8, 4, 32, 6
+    neighbors = rng.standard_normal((B, G, S, C)).astype(np.float32)
+    centers = rng.standard_normal((B, G, C)).astype(np.float32)
+
+    monkeypatch.setattr(
+        ref_semseg, "divide_patches",
+        lambda pts, g, s: (torch.tensor(neighbors), torch.tensor(centers)),
+    )
+    monkeypatch.setattr(
+        our_cf, "divide_patches",
+        lambda pts, g, s, key=None, neighbor_dtype=None: (
+            jnp.asarray(neighbors).astype(neighbor_dtype or jnp.float32),
+            jnp.asarray(centers),
+        ),
+    )
+
+    adapter = ref.classifier.PointCloudInputAdapter((N, C), D)
+    tm = ref_semseg.CrossFormer_semseg(
+        input_adapter=adapter, point_channels=C, num_latents=G,
+        num_latent_channels=D, group_size=S, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, num_self_attention_layers=4,
+        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0, layer_idx=[1, 2, 4],
+        num_obj_classes=13,
+    ).eval()
+
+    fm = our_cf.CrossFormerSemSeg(
+        point_channels=C, num_latents=G, num_latent_channels=D,
+        group_size=S, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, num_self_attention_layers=4,
+        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0, layer_idx=(1, 2, 4),
+        num_obj_classes=13,
+    )
+
+    g2e_bn0_p, g2e_bn0_s = bn(tm.group2emb.first_conv[1])
+    g2e_bn1_p, g2e_bn1_s = bn(tm.group2emb.second_conv[1])
+    enc = {"cross_attn_n": ca_layer_params(tm.encoder.cross_attn_1)}
+    for i, sa in enumerate(tm.encoder.sa_layers):
+        enc[f"sa_{i}"] = sa_layer_params(sa)
+    prop_bn0_p, prop_bn0_s = bn(tm.propagation.mlp_bns[0])
+    prop_bn1_p, prop_bn1_s = bn(tm.propagation.mlp_bns[1])
+    seg_bn0_p, seg_bn0_s = bn(tm.bn1)
+    seg_bn1_p, seg_bn1_s = bn(tm.bn2)
+
+    params = {
+        "stem": {
+            "input_adapter": {
+                "Dense_0": lin(tm.input_adapter.point_mlp[0]),
+                "LayerNorm_0": ln(tm.input_adapter.point_mlp[1]),
+                "Dense_1": lin(tm.input_adapter.point_mlp[3]),
+            },
+            "group2emb": {
+                "Dense_0": conv1d(tm.group2emb.first_conv[0]),
+                "BatchNorm_0": g2e_bn0_p,
+                "Dense_1": conv1d(tm.group2emb.first_conv[3]),
+                "Dense_2": conv1d(tm.group2emb.second_conv[0]),
+                "BatchNorm_1": g2e_bn1_p,
+                "Dense_3": conv1d(tm.group2emb.second_conv[3]),
+            },
+            "position_emb": {
+                "Dense_0": lin(tm.position_emb[0]),
+                "Dense_1": lin(tm.position_emb[2]),
+            },
+        },
+        "encoder": enc,
+        "norm": ln(tm.norm),
+        "propagation": {
+            "Dense_0": conv1d(tm.propagation.mlp_convs[0]),
+            "BatchNorm_0": prop_bn0_p,
+            "Dense_1": conv1d(tm.propagation.mlp_convs[1]),
+            "BatchNorm_1": prop_bn1_p,
+        },
+        "seg_head": {
+            "Dense_0": conv1d(tm.conv1),
+            "BatchNorm_0": seg_bn0_p,
+            "Dense_1": conv1d(tm.conv2),
+            "BatchNorm_1": seg_bn1_p,
+            "Dense_2": conv1d(tm.conv3),
+        },
+    }
+    stats = {
+        "stem": {"group2emb": {"BatchNorm_0": g2e_bn0_s,
+                               "BatchNorm_1": g2e_bn1_s}},
+        "propagation": {"BatchNorm_0": prop_bn0_s, "BatchNorm_1": prop_bn1_s},
+        "seg_head": {"BatchNorm_0": seg_bn0_s, "BatchNorm_1": seg_bn1_s},
+    }
+
+    pts = rng.standard_normal((B, N, C)).astype(np.float32)
+    want = t2n(tm(torch.tensor(pts)))
+    got = fm.apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(pts)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
