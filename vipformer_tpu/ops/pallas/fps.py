@@ -77,24 +77,32 @@ def fps_pallas(
     deterministic mode of ops.geometry.farthest_point_sample).
     """
     b, n, _ = xyz.shape
-    planes = [xyz[..., i].astype(jnp.float32) for i in range(3)]
     if start is None:
         start = jnp.zeros((b,), jnp.int32)
+    # Mosaic mishandles single-row (Bt=1) blocks (rank-1 size-1 vector
+    # layouts abort the compiler), so ragged/small batches are padded up to
+    # a multiple of block_rows with copies of row 0 and sliced after.
+    b_pad = -(-b // block_rows) * block_rows
+    if b_pad != b:
+        reps = [1] * xyz.ndim
+        xyz = jnp.concatenate(
+            [xyz, jnp.broadcast_to(xyz[:1], (b_pad - b, *xyz.shape[1:]))], 0
+        )
+        start = jnp.concatenate(
+            [start, jnp.broadcast_to(start[:1], (b_pad - b,))], 0
+        )
+    planes = [xyz[..., i].astype(jnp.float32) for i in range(3)]
     # rank-1 blocks are restricted on TPU; carry start as [B, 1]
-    start = start.astype(jnp.int32).reshape(b, 1)
+    start = start.astype(jnp.int32).reshape(b_pad, 1)
 
-    block_rows = min(block_rows, b)
-    if b % block_rows:
-        block_rows = 1  # fallback for ragged batches
-
-    grid = (b // block_rows,)
+    grid = (b_pad // block_rows,)
     ms = pl.ANY if interpret else pltpu.VMEM
     plane_spec = pl.BlockSpec(
         (block_rows, n), lambda i: (i, 0), memory_space=ms
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_fps_kernel, npoint, n),
-        out_shape=jax.ShapeDtypeStruct((b, npoint), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_pad, npoint), jnp.int32),
         grid=grid,
         in_specs=[
             plane_spec,
@@ -107,3 +115,4 @@ def fps_pallas(
         ),
         interpret=interpret,
     )(*planes, start)
+    return out[:b]
