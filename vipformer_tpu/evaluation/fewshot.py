@@ -15,7 +15,19 @@ from vipformer_tpu.evaluation.svm import fit_svm
 
 
 def _episode_indices(rng, labels, k_way, n_shot, n_query):
-    classes = np.unique(labels)
+    # only classes with enough examples can host an episode
+    classes = np.array(
+        [
+            c
+            for c in np.unique(labels)
+            if (labels == c).sum() >= n_shot + n_query
+        ]
+    )
+    if len(classes) < k_way:
+        raise ValueError(
+            f"only {len(classes)} classes have >= {n_shot + n_query} "
+            f"samples; cannot sample {k_way}-way episodes"
+        )
     chosen = rng.choice(classes, size=k_way, replace=False)
     sup_idx, qry_idx, sup_y, qry_y = [], [], [], []
     for new_label, c in enumerate(chosen):
