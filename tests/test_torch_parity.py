@@ -382,7 +382,7 @@ def test_partseg_model_full_parity(ref, rng, monkeypatch):
     )
     monkeypatch.setattr(
         our_cf, "divide_patches",
-        lambda pts, g, s, key=None, neighbor_dtype=None: (
+        lambda pts, g, s, key=None, neighbor_dtype=None, **kw: (
             jnp.asarray(neighbors).astype(neighbor_dtype or jnp.float32),
             jnp.asarray(centers),
         ),
@@ -494,7 +494,7 @@ def test_semseg_model_full_parity(ref, rng, monkeypatch):
     )
     monkeypatch.setattr(
         our_cf, "divide_patches",
-        lambda pts, g, s, key=None, neighbor_dtype=None: (
+        lambda pts, g, s, key=None, neighbor_dtype=None, **kw: (
             jnp.asarray(neighbors).astype(neighbor_dtype or jnp.float32),
             jnp.asarray(centers),
         ),
@@ -578,3 +578,151 @@ def test_semseg_model_full_parity(ref, rng, monkeypatch):
         {"params": params, "batch_stats": stats}, jnp.asarray(pts)
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+def _pc_mp_params(tm):
+    """Transplant a reference CrossFormer_pc_mp's weights into our tree."""
+    g2e_bn0_p, g2e_bn0_s = bn(tm.group2emb.first_conv[1])
+    g2e_bn1_p, g2e_bn1_s = bn(tm.group2emb.second_conv[1])
+    enc = {"cross_attn_n": ca_layer_params(tm.encoder.cross_attn_1)}
+    for i, sa in enumerate(tm.encoder.sa_layers):
+        enc[f"sa_{i}"] = sa_layer_params(sa)
+    h0_p, h0_s = bn(tm.latent_head[0])
+    h1_p, h1_s = bn(tm.latent_head[3])
+    params = {
+        "stem": {
+            "input_adapter": {
+                "Dense_0": lin(tm.input_adapter.point_mlp[0]),
+                "LayerNorm_0": ln(tm.input_adapter.point_mlp[1]),
+                "Dense_1": lin(tm.input_adapter.point_mlp[3]),
+            },
+            "group2emb": {
+                "Dense_0": conv1d(tm.group2emb.first_conv[0]),
+                "BatchNorm_0": g2e_bn0_p,
+                "Dense_1": conv1d(tm.group2emb.first_conv[3]),
+                "Dense_2": conv1d(tm.group2emb.second_conv[0]),
+                "BatchNorm_1": g2e_bn1_p,
+                "Dense_3": conv1d(tm.group2emb.second_conv[3]),
+            },
+            "position_emb": {
+                "Dense_0": lin(tm.position_emb[0]),
+                "Dense_1": lin(tm.position_emb[2]),
+            },
+        },
+        "encoder": enc,
+        "latent_head": {
+            "BatchNorm_0": h0_p,
+            "Dense_0": lin(tm.latent_head[2]),
+            "BatchNorm_1": h1_p,
+            "Dense_1": lin(tm.latent_head[5]),
+        },
+    }
+    stats = {
+        "stem": {"group2emb": {"BatchNorm_0": g2e_bn0_s,
+                               "BatchNorm_1": g2e_bn1_s}},
+        "latent_head": {"BatchNorm_0": h0_s, "BatchNorm_1": h1_s},
+    }
+    return params, stats
+
+
+def test_pc_model_full_parity_compat(ref, rng, monkeypatch):
+    """WHOLE point-cloud model vs the reference with NO shared-decomposition
+    carve-out: both sides run their own FPS + kNN + patch normalization end to
+    end. `patch_compat=True` reproduces the reference's accidental group-axis
+    normalization slice (pointcloud/utils.py:36), which the released
+    checkpoints were trained through. The only pins are determinism, not
+    decomposition: the FPS start index is fixed to 0 on both sides (the
+    reference draws it from torch.randint at utils.py:71; ours from an
+    optional PRNG key), and the reference's topk is asked for sorted output
+    (it passes sorted=False, i.e. "any order allowed" — utils.py:118 — so
+    sorted order is within its contract)."""
+    torch = ref.torch
+    B, N, G, S, D = 2, 64, 8, 4, 32
+
+    real_randint = torch.randint
+
+    def fixed_randint(low, high, size, **kw):
+        if size == (B,):
+            return torch.zeros(B, dtype=kw.get("dtype", torch.long),
+                               device=kw.get("device", "cpu"))
+        return real_randint(low, high, size, **kw)
+
+    monkeypatch.setattr(torch, "randint", fixed_randint)
+
+    real_topk = torch.topk
+
+    def sorted_topk(x, k, dim=-1, largest=True, sorted=False):
+        return real_topk(x, k, dim=dim, largest=largest, sorted=True)
+
+    monkeypatch.setattr(ref.utils.torch, "topk", sorted_topk)
+
+    adapter = ref.classifier.PointCloudInputAdapter((N, 3), D)
+    tm = ref.partseg.CrossFormer_pc_mp(
+        input_adapter=adapter, num_latents=G, num_latent_channels=D,
+        group_size=S, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, num_self_attention_layers=2,
+        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0, modal_prior=True,
+    ).eval()
+
+    from vipformer_tpu.models.crossformer import CrossFormerPC
+    import vipformer_tpu.ops.geometry as geometry
+
+    monkeypatch.setattr(geometry, "KNN_METHOD", "exact")
+    fm = CrossFormerPC(
+        num_latents=G, num_latent_channels=D, group_size=S,
+        patch_compat=True, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, num_self_attention_layers=2,
+        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0,
+    )
+    params, stats = _pc_mp_params(tm)
+
+    pts = rng.standard_normal((B, N, 3)).astype(np.float32)
+    with ref.torch.no_grad():
+        want_proj, want_feats = tm(torch.tensor(pts))
+    got_proj, got_feats = fm.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(pts), True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_feats), t2n(want_feats), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_proj), t2n(want_proj), atol=1e-4
+    )
+
+
+def test_divide_patches_compat_oracle(ref, rng, monkeypatch):
+    """divide_patches(compat=True) reproduces the reference's exact outputs
+    (neighbors AND centers) on identical inputs. Determinism pins only:
+    FPS start index fixed to 0 on both sides, and the reference's topk asked
+    for sorted output (it passes sorted=False == "any order", utils.py:118;
+    the compat slice normalizes the first three *slots*, so comparing a
+    specific legal order is required)."""
+    torch = ref.torch
+    B, N, G, S = 3, 48, 6, 5
+    pts = rng.standard_normal((B, N, 3)).astype(np.float32)
+
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda lo, hi, size, **kw: torch.zeros(size, dtype=torch.long),
+    )
+    real_topk = torch.topk
+    monkeypatch.setattr(
+        ref.utils.torch, "topk",
+        lambda x, k, dim=-1, largest=True, sorted=False: real_topk(
+            x, k, dim=dim, largest=largest, sorted=True
+        ),
+    )
+    with torch.no_grad():
+        want_nb, want_c = ref.utils.divide_patches(torch.tensor(pts), G, S)
+
+    import vipformer_tpu.ops.geometry as geometry
+
+    monkeypatch.setattr(geometry, "KNN_METHOD", "exact")
+    neighbors, centers = geometry.divide_patches(
+        jnp.asarray(pts), G, S, key=None, compat=True,
+    )
+    np.testing.assert_allclose(np.asarray(centers), t2n(want_c), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(neighbors), t2n(want_nb), atol=1e-6)

@@ -10,11 +10,13 @@ Usage:
       --arch E1CL8SL-H4D256-L128-MR2 [--kind pretrain|ft_cls] \
       [--num_obj_classes 40]
 
-Note: numerics downstream of the patch stem are layer-identical (see
-tests/test_torch_parity.py); the patch stem itself differs where our
-divide_patches implements the reference's documented intent instead of its
-accidental group-axis slice, so converted checkpoints should be validated
-(linear probe / finetune a few epochs) rather than assumed bit-equal.
+Checkpoints trained with the reference code went through its accidental
+patch-normalization slice (`pointcloud/utils.py:36`), so converted models
+must run with `Config.patch_compat=True` to be numerically faithful —
+the converter records that in the checkpoint metadata (and the whole-model
+forward is then bit-parity tested, see tests/test_torch_parity.py::
+test_pc_model_full_parity_compat). Pass `--no_compat` only for checkpoints
+trained with this framework's corrected stem.
 """
 
 from __future__ import annotations
@@ -178,6 +180,9 @@ def main():
     ap.add_argument("--kind", default="pretrain",
                     choices=["pretrain", "ft_cls"])
     ap.add_argument("--num_obj_classes", type=int, default=40)
+    ap.add_argument("--no_compat", action="store_true",
+                    help="mark the checkpoint as NOT needing the "
+                    "reference-faithful patch_compat stem")
     args = ap.parse_args()
 
     import torch
@@ -193,14 +198,19 @@ def main():
     params, stats = convert_pc_model(
         sd, arch["num_sa_layers"], kind=args.kind
     )
+    compat = not args.no_compat
     save_checkpoint(
         args.dst,
         {"params": params, "batch_stats": stats},
-        {"converted_from": args.src, "arch": args.arch, "kind": args.kind},
+        {"converted_from": args.src, "arch": args.arch, "kind": args.kind,
+         "patch_compat": compat},
     )
     n = sum(np.prod(v.shape) for v in
             __import__("jax").tree_util.tree_leaves(params))
     print(f"wrote {args.dst}: {int(n):,} parameters ({args.kind})")
+    if compat:
+        print("NOTE: run this checkpoint with --patch_compat true "
+              "(reference-trained stem; see ops/geometry.py)")
 
 
 if __name__ == "__main__":

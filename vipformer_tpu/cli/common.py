@@ -48,6 +48,47 @@ def setup(cfg: Config, snapshot_sources: bool = True):
     return run, logger, mesh
 
 
+def warn_patch_compat(ckpt_path: str, cfg: Config, logger) -> None:
+    """Loudly flag a stem-mode mismatch between a checkpoint and the config.
+
+    Converted reference checkpoints record patch_compat=True in their
+    metadata (tools/convert_torch_ckpt.py); running them with the corrected
+    stem (or vice versa) silently degrades accuracy, so mismatches are
+    logged as warnings at every pretrained-backbone restore."""
+    from vipformer_tpu.train.checkpoint import load_metadata
+
+    try:
+        meta = load_metadata(ckpt_path)
+    except Exception:
+        return
+    want = meta.get("patch_compat")
+    if want is not None and bool(want) != cfg.patch_compat:
+        logger.write(
+            f"WARNING: checkpoint {ckpt_path} was trained with "
+            f"patch_compat={want} but config has "
+            f"patch_compat={cfg.patch_compat}; pass --patch_compat "
+            f"{str(bool(want)).lower()} to match its stem "
+            "(see ops/geometry.py:divide_patches)"
+        )
+
+
+def pc_checkpoint_trees(raw: dict):
+    """Extract the point-branch (params, batch_stats|None) from a checkpoint.
+
+    Handles the three layouts users feed the finetune/eval entry points:
+    * pretrain-CLI checkpoints nest both branches under 'pc'/'img',
+    * tools/convert_torch_ckpt.py output stores the pc tree directly,
+    * bare param trees (no 'params' wrapper) pass through unchanged.
+    """
+    params = raw.get("params", raw)
+    if isinstance(params, dict) and "pc" in params:
+        params = params["pc"]
+    stats = raw.get("batch_stats") if isinstance(raw, dict) else None
+    if isinstance(stats, dict) and "pc" in stats:
+        stats = stats["pc"]
+    return params, stats
+
+
 def round_up_batch(cfg_batch: int, mesh) -> int:
     """Global batch must divide the data axis (the reference asserts
     batch_size % world_size == 0, pretrain.py:58-59)."""

@@ -15,6 +15,7 @@ from vipformer_tpu.cli.common import (
     extract_features,
     setup,
 )
+from vipformer_tpu.cli import common
 from vipformer_tpu.config import Config, config_from_args
 from vipformer_tpu.data import ModelNet40SVM, ScanObjectNNSVM
 from vipformer_tpu.evaluation import fewshot_eval
@@ -45,16 +46,15 @@ def main(cfg: Config) -> dict:
     )
     path = (cfg.pc_model_file if "/" in cfg.pc_model_file
             else run.model_path(cfg.pc_model_file))
+    common.warn_patch_compat(path, cfg, logger)
     try:
         raw = load_checkpoint(path)
-        pre = raw["params"]["pc"] if "params" in raw else raw
+        pre, pre_stats = common.pc_checkpoint_trees(raw)
         from flax import serialization
 
         params = serialization.from_state_dict(params, pre)
-        if "batch_stats" in raw:
-            stats = serialization.from_state_dict(
-                stats, raw["batch_stats"]["pc"]
-            )
+        if pre_stats:
+            stats = serialization.from_state_dict(stats, pre_stats)
         logger.write(f"loaded pretrained model from {path}")
     except FileNotFoundError:
         logger.write(f"WARNING: no checkpoint at {path}; evaluating raw init")

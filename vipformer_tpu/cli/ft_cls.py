@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vipformer_tpu.cli.common import round_up_batch, setup
+from vipformer_tpu.cli import common
 from vipformer_tpu.config import Config, config_from_args
 from vipformer_tpu.data import (
     Loader,
@@ -75,15 +76,17 @@ def main(cfg: Config) -> dict:
 
     if cfg.resume:
         # bootstrap backbone from a pretrain checkpoint
-        raw = load_checkpoint(cfg.pc_model_file if "/" in cfg.pc_model_file
-                              else run.model_path(cfg.pc_model_file))
-        pre_params = raw["params"]["pc"] if "params" in raw else raw
+        ckpt_path = (cfg.pc_model_file if "/" in cfg.pc_model_file
+                     else run.model_path(cfg.pc_model_file))
+        common.warn_patch_compat(ckpt_path, cfg, logger)
+        raw = load_checkpoint(ckpt_path)
+        pre_params, pre_stats = common.pc_checkpoint_trees(raw)
         params = restore_backbone(
             params, pre_params, ("stem", "encoder"), log=logger.write
         )
-        if "batch_stats" in raw and "pc" in raw.get("batch_stats", {}):
+        if pre_stats:
             stats = restore_backbone(
-                stats, raw["batch_stats"]["pc"], ("stem", "encoder"),
+                stats, pre_stats, ("stem", "encoder"),
                 log=lambda m: None,
             )
 

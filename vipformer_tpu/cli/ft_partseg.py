@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vipformer_tpu.cli.common import round_up_batch, setup
+from vipformer_tpu.cli import common
 from vipformer_tpu.config import Config, config_from_args
 from vipformer_tpu.data import Loader, ShapeNetPart, collate_partseg, pad_batch
 from vipformer_tpu.evaluation import PartSegMetrics
@@ -74,9 +75,11 @@ def main(cfg: Config) -> dict:
         cfg.seed,
     )
     if cfg.resume:
-        raw = load_checkpoint(cfg.pc_model_file if "/" in cfg.pc_model_file
-                              else run.model_path(cfg.pc_model_file))
-        pre_params = raw["params"]["pc"] if "params" in raw else raw
+        ckpt_path = (cfg.pc_model_file if "/" in cfg.pc_model_file
+                     else run.model_path(cfg.pc_model_file))
+        common.warn_patch_compat(ckpt_path, cfg, logger)
+        raw = load_checkpoint(ckpt_path)
+        pre_params, _ = common.pc_checkpoint_trees(raw)
         params = restore_backbone(
             params, pre_params, ("stem", "encoder"), log=logger.write
         )

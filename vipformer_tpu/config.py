@@ -99,6 +99,10 @@ class Config:
     ballradius: int = 10
     svm_coff: float = 1.0
     synthetic_data: bool = False  # run on generated data when real sets absent
+    patch_compat: bool = False  # reproduce the reference's patch
+    # normalization slice bit-for-bit (pointcloud/utils.py:36) — required for
+    # checkpoints trained with the reference code; default is its documented
+    # intent (see ops/geometry.py:divide_patches)
 
     # --- few-shot (parser.py:149-157)
     n_runs: int = 10

@@ -160,6 +160,7 @@ class _PointPatchStem(nn.Module):
     num_latents: int
     num_latent_channels: int
     group_size: int
+    patch_compat: bool = False  # reference-faithful normalization slice
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -173,7 +174,7 @@ class _PointPatchStem(nn.Module):
         )
         neighbors, centers = divide_patches(
             pts, self.num_latents, self.group_size, fps_key,
-            neighbor_dtype=dt,
+            neighbor_dtype=dt, compat=self.patch_compat,
         )
         group_embs = Group2Emb(
             self.num_latent_channels, dtype=self.dtype, name="group2emb"
@@ -194,6 +195,7 @@ class CrossFormerPC(nn.Module):
     num_latents: int = 128
     num_latent_channels: int = 384
     group_size: int = 32
+    patch_compat: bool = False
     num_cross_attention_layers: int = 1
     num_cross_attention_heads: int = 6
     num_self_attention_layers: int = 6
@@ -211,6 +213,7 @@ class CrossFormerPC(nn.Module):
             self.num_latents,
             self.num_latent_channels,
             self.group_size,
+            patch_compat=self.patch_compat,
             dtype=self.dtype,
             name="stem",
         )(pts, deterministic)
@@ -259,6 +262,7 @@ class CrossFormerPCFT(nn.Module):
     num_latents: int = 128
     num_latent_channels: int = 384
     group_size: int = 32
+    patch_compat: bool = False
     num_cross_attention_layers: int = 1
     num_cross_attention_heads: int = 6
     num_self_attention_layers: int = 6
@@ -277,6 +281,7 @@ class CrossFormerPCFT(nn.Module):
             self.num_latents,
             self.num_latent_channels,
             self.group_size,
+            patch_compat=self.patch_compat,
             dtype=self.dtype,
             name="stem",
         )(pts, deterministic)
@@ -380,6 +385,7 @@ class CrossFormerPartSeg(nn.Module):
     num_latents: int = 128
     num_latent_channels: int = 384
     group_size: int = 32
+    patch_compat: bool = False
     num_cross_attention_layers: int = 1
     num_cross_attention_heads: int = 6
     num_self_attention_layers: int = 12
@@ -403,6 +409,7 @@ class CrossFormerPartSeg(nn.Module):
             self.num_latents,
             self.num_latent_channels,
             self.group_size,
+            patch_compat=self.patch_compat,
             dtype=self.dtype,
             name="stem",
         )(pts, deterministic)
@@ -453,6 +460,7 @@ class CrossFormerSemSeg(nn.Module):
     num_latents: int = 128
     num_latent_channels: int = 384
     group_size: int = 32
+    patch_compat: bool = False
     num_cross_attention_layers: int = 1
     num_cross_attention_heads: int = 6
     num_self_attention_layers: int = 12
@@ -476,6 +484,7 @@ class CrossFormerSemSeg(nn.Module):
             self.num_latents,
             self.num_latent_channels,
             self.group_size,
+            patch_compat=self.patch_compat,
             dtype=self.dtype,
             name="stem",
         )(pts, deterministic)

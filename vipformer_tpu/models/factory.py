@@ -50,6 +50,7 @@ def build_pc_model(cfg: Config):
         return CrossFormerPC(
             num_latents=cfg.num_pc_latents,
             group_size=cfg.group_size,
+            patch_compat=cfg.patch_compat,
             **_mp_common(cfg),
         )
     return PerceiverFeatsModel(
@@ -116,6 +117,7 @@ def build_ft_cls(cfg: Config):
         return CrossFormerPCFT(
             num_latents=cfg.num_pc_latents,
             group_size=cfg.group_size,
+            patch_compat=cfg.patch_compat,
             num_obj_classes=cfg.num_obj_classes,
             **_mp_common(cfg),
         )
@@ -147,6 +149,7 @@ def build_ft_partseg(cfg: Config):
     return CrossFormerPartSeg(
         num_latents=cfg.num_pc_latents,
         group_size=cfg.group_size,
+        patch_compat=cfg.patch_compat,
         layer_idx=tuple(layer_idx),
         num_part_classes=cfg.num_part_classes,
         **_mp_common(cfg),
@@ -160,6 +163,7 @@ def build_ft_semseg(cfg: Config):
         point_channels=cfg.point_channels,
         num_latents=cfg.num_pc_latents,
         group_size=cfg.group_size,
+        patch_compat=cfg.patch_compat,
         layer_idx=tuple(layer_idx),
         num_obj_classes=cfg.num_obj_classes,
         **_mp_common(cfg),

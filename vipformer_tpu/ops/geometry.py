@@ -207,6 +207,7 @@ def divide_patches(
     group_size: int,
     key: Array | None = None,
     neighbor_dtype=None,
+    compat: bool = False,
 ) -> tuple[Array, Array]:
     """FPS centers -> kNN neighborhoods -> center-normalized local patches.
 
@@ -215,18 +216,23 @@ def divide_patches(
       num_groups: number of patches G (static).
       group_size: points per patch S (static).
       key: optional PRNG key for the FPS random start.
+      compat: reproduce the reference implementation's normalization
+        bit-for-bit (see below) instead of its documented intent. Required
+        when loading checkpoints trained with the reference code
+        (`/root/reference/README.md:92-95`).
     Returns:
       neighbors: [B, G, S, C] with xyz channels centered on the patch center.
       centers: [B, G, C] the FPS-sampled center points.
 
     Reference: `pointcloud/utils.py:6-38`. NOTE the reference's normalization
     (`utils.py:36`) indexes `neighbors[:, :, :3]`, which on its 4-D tensor
-    slices the *group_size* axis — subtracting centers from the first three
-    neighbors across all channels, contradicting its own comment ("normalize
-    only point coordinates, which are first 3 dimensions"). We implement the
-    documented intent: subtract centers from the xyz *channels* of every
-    neighbor. Numerics therefore deviate from the reference implementation
-    (deliberately) while matching its documented behavior.
+    slices the *group_size* axis — subtracting centers (all channels) from the
+    first three *neighbors*, contradicting its own comment ("normalize only
+    point coordinates, which are first 3 dimensions"). Default behavior here
+    implements the documented intent: subtract centers from the xyz *channels*
+    of every neighbor. `compat=True` reproduces the reference's actual slice,
+    because the released checkpoints were trained through it and their stem
+    weights expect that input distribution.
     """
     # NOTE: a fused FPS+kNN kernel exists (ops/pallas/patchify.py) but
     # measured SLOWER than the separate kernels (23.2 vs 20.9 ms full
@@ -240,8 +246,16 @@ def divide_patches(
     # exact for the MXU kernel at DEFAULT precision — see ops/pallas/gather)
     src = points.astype(neighbor_dtype) if neighbor_dtype else points
     neighbors = index_points(src, idx)  # [B, G, S, C]
-    delta = neighbors[..., :3] - centers[..., None, :3].astype(neighbors.dtype)
-    neighbors = jnp.concatenate([delta, neighbors[..., 3:]], axis=-1)
+    c = centers.astype(neighbors.dtype)
+    if compat:
+        # reference slice: neighbors[:, :, :3] -= centers.unsqueeze(2)[:, :, :3]
+        # — the :3 lands on the group_size axis, so the first three neighbor
+        # slots get centers subtracted across ALL channels
+        head = neighbors[:, :, :3, :] - c[:, :, None, :]
+        neighbors = jnp.concatenate([head, neighbors[:, :, 3:, :]], axis=2)
+    else:
+        delta = neighbors[..., :3] - c[..., None, :3]
+        neighbors = jnp.concatenate([delta, neighbors[..., 3:]], axis=-1)
     return neighbors, centers
 
 
