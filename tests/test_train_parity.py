@@ -1,0 +1,411 @@
+"""Training-dynamics parity vs the installed torch reference.
+
+The strongest accuracy-parity evidence obtainable without the real datasets:
+construct the reference model and ours with IDENTICAL weights, feed IDENTICAL
+batches, run N optimizer steps on both, and assert the per-step loss
+trajectories (and the final parameters) agree. This exercises the optimizer
+update rules (train/optim.py vs torch Adam/SGD), train-mode BatchNorm,
+label-smoothed CE / NT-Xent losses, the lr schedule plumbing, and the full
+model forward+backward in one shot.
+
+Reference loops matched: `ft_cls.py:151-213` (Adam/SGD + CE smoothing 0.2)
+and `pretrain.py:158-226` (NT-Xent IMID+CMID over both branches, one
+optimizer spanning both, `pretrain.py:104-124`).
+
+Determinism pins (not behavior changes): FPS start index 0 on both sides,
+reference topk asked for sorted output (it passes sorted=False == any order),
+our kNN in exact mode, dropout/DropPath rates 0 (the two frameworks cannot
+share mask RNGs), f32 everywhere. Our stem runs `patch_compat=True` so both
+stems are bit-identical (see tests/test_torch_parity.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from test_torch_parity import (  # noqa: F401  (ref is a fixture)
+    _pc_mp_params,
+    bn,
+    ca_layer_params,
+    conv1d,
+    lin,
+    ln,
+    mlp_params,
+    ref,
+    sa_layer_params,
+    t2n,
+)
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not mounted"
+)
+
+B, N, G, S, D = 8, 64, 8, 4, 32
+NUM_CLASSES = 10
+
+
+@pytest.fixture()
+def pinned(ref, monkeypatch):
+    """Pin both sides' stochastic stem choices to a shared deterministic one."""
+    torch = ref.torch
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda lo, hi, size, **kw: torch.zeros(size, dtype=torch.long),
+    )
+    real_topk = torch.topk
+    monkeypatch.setattr(
+        ref.utils.torch, "topk",
+        lambda x, k, dim=-1, largest=True, sorted=False: real_topk(
+            x, k, dim=dim, largest=largest, sorted=True
+        ),
+    )
+    import vipformer_tpu.ops.geometry as geometry
+    import vipformer_tpu.train.trainer as trainer
+
+    monkeypatch.setattr(geometry, "KNN_METHOD", "exact")
+    # dropout rates are all 0 in these tests; drop the fps rng so our FPS
+    # starts at index 0 like the pinned torch side
+    monkeypatch.setattr(
+        trainer, "_rngs", lambda key, n=2: {"dropout": key}
+    )
+    torch.manual_seed(0)
+
+
+def _tiny_ref_ft(ref):
+    adapter = ref.classifier.PointCloudInputAdapter((N, 3), D)
+    return ref.partseg.CrossFormer_pc_mp_ft(
+        input_adapter=adapter, num_latents=G, num_latent_channels=D,
+        group_size=S, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, num_self_attention_layers=2,
+        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0, modal_prior=True,
+        num_obj_classes=NUM_CLASSES,
+    )
+
+
+def _our_ft_model():
+    from vipformer_tpu.models.crossformer import CrossFormerPCFT
+
+    return CrossFormerPCFT(
+        num_latents=G, num_latent_channels=D, group_size=S,
+        patch_compat=True, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, num_self_attention_layers=2,
+        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0, num_obj_classes=NUM_CLASSES,
+    )
+
+
+def _ft_params(tm):
+    """Weight transplant for CrossFormer_pc_mp_ft -> CrossFormerPCFT."""
+    params, stats = _pc_mp_params_noh(tm)
+    bns = [bn(tm.finetune_head[i]) for i in (0, 3, 6)]
+    params["finetune_head"] = {
+        "BatchNorm_0": bns[0][0],
+        "Dense_0": lin(tm.finetune_head[2]),
+        "BatchNorm_1": bns[1][0],
+        "Dense_1": lin(tm.finetune_head[5]),
+        "BatchNorm_2": bns[2][0],
+        "Dense_2": lin(tm.finetune_head[8]),
+    }
+    stats["finetune_head"] = {f"BatchNorm_{j}": bns[j][1] for j in range(3)}
+    return params, stats
+
+
+def _pc_mp_params_noh(tm):
+    """Stem + encoder transplant (no head)."""
+    g2e_bn0_p, g2e_bn0_s = bn(tm.group2emb.first_conv[1])
+    g2e_bn1_p, g2e_bn1_s = bn(tm.group2emb.second_conv[1])
+    enc = {"cross_attn_n": ca_layer_params(tm.encoder.cross_attn_1)}
+    for i, sa in enumerate(tm.encoder.sa_layers):
+        enc[f"sa_{i}"] = sa_layer_params(sa)
+    params = {
+        "stem": {
+            "input_adapter": {
+                "Dense_0": lin(tm.input_adapter.point_mlp[0]),
+                "LayerNorm_0": ln(tm.input_adapter.point_mlp[1]),
+                "Dense_1": lin(tm.input_adapter.point_mlp[3]),
+            },
+            "group2emb": {
+                "Dense_0": conv1d(tm.group2emb.first_conv[0]),
+                "BatchNorm_0": g2e_bn0_p,
+                "Dense_1": conv1d(tm.group2emb.first_conv[3]),
+                "Dense_2": conv1d(tm.group2emb.second_conv[0]),
+                "BatchNorm_1": g2e_bn1_p,
+                "Dense_3": conv1d(tm.group2emb.second_conv[3]),
+            },
+            "position_emb": {
+                "Dense_0": lin(tm.position_emb[0]),
+                "Dense_1": lin(tm.position_emb[2]),
+            },
+        },
+        "encoder": enc,
+    }
+    stats = {
+        "stem": {"group2emb": {"BatchNorm_0": g2e_bn0_s,
+                               "BatchNorm_1": g2e_bn1_s}},
+    }
+    return params, stats
+
+
+def _pretrain_head_params(tm):
+    h0_p, h0_s = bn(tm.latent_head[0])
+    h1_p, h1_s = bn(tm.latent_head[3])
+    params = {
+        "BatchNorm_0": h0_p,
+        "Dense_0": lin(tm.latent_head[2]),
+        "BatchNorm_1": h1_p,
+        "Dense_1": lin(tm.latent_head[5]),
+    }
+    stats = {"BatchNorm_0": h0_s, "BatchNorm_1": h1_s}
+    return params, stats
+
+
+def _to_f32_tree(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float32), tree
+    )
+
+
+def _assert_tree_close(got, want, rtol, atol, what):
+    flat_g, _ = jax.tree_util.tree_flatten_with_path(got)
+    flat_w = dict(jax.tree_util.tree_flatten_with_path(want)[0])
+    assert len(flat_g) == len(flat_w)
+    for path, g in flat_g:
+        w = flat_w[path]
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=rtol, atol=atol,
+            err_msg=f"{what}: {jax.tree_util.keystr(path)}",
+        )
+
+
+def _cfg(**kw):
+    from vipformer_tpu.config import Config
+
+    base = dict(
+        compute_dtype="float32", num_latent_channels=D, num_ca_heads=2,
+        num_sa_heads=2, num_sa_layers=2, num_pc_latents=G, num_groups=G,
+        group_size=S, mlp_widen_factor=2, max_dpr=0.0, atten_drop=0.0,
+        mlp_drop=0.0, patch_compat=True, num_obj_classes=NUM_CLASSES,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _run_our_cls(ref, tm, batches, lrs, optim):
+    from vipformer_tpu.train.trainer import (
+        create_state,
+        make_cls_step,
+    )
+
+    model = _our_ft_model()
+    params, stats = _ft_params(tm)
+    cfg = _cfg(optim=optim, lr=float(lrs[0]),
+               momentum=0.9)
+    state, tx = create_state(cfg, _to_f32_tree(params), _to_f32_tree(stats))
+    step = make_cls_step(cfg, model, tx)
+    key = jax.random.key(0)
+    losses = []
+    for t, (pts, labels) in enumerate(batches):
+        batch = {"points": jnp.asarray(pts), "labels": jnp.asarray(labels)}
+        state, metrics = step(state, batch, float(lrs[t]), key)
+        losses.append(float(metrics["loss"]))
+    return np.asarray(losses), state
+
+
+def _run_torch_cls(ref, tm, batches, lrs, optim):
+    torch = ref.torch
+    if optim == "adam":
+        opt = torch.optim.Adam(tm.parameters(), lr=float(lrs[0]),
+                               weight_decay=1e-6)
+    else:
+        opt = torch.optim.SGD(tm.parameters(), lr=float(lrs[0]),
+                              momentum=0.9)
+    crit = torch.nn.CrossEntropyLoss(label_smoothing=0.2)
+    tm.train()
+    losses = []
+    for t, (pts, labels) in enumerate(batches):
+        for g in opt.param_groups:
+            g["lr"] = float(lrs[t])
+        opt.zero_grad(set_to_none=True)
+        logits = tm(torch.tensor(pts))
+        loss = crit(logits, torch.tensor(labels))
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return np.asarray(losses)
+
+
+@pytest.mark.parametrize("optim,steps", [("adam", 50), ("sgd", 30)])
+def test_ft_cls_trajectory_parity(ref, rng, pinned, optim, steps):
+    """N-step finetune loss trajectory + final params match torch exactly
+    (up to f32 accumulation drift). Covers Adam(coupled L2 1e-6) and
+    SGD(momentum 0.9), CE(label_smoothing=0.2), train-mode BN, and the
+    per-step lr schedule injection (cosine over the run)."""
+    from vipformer_tpu.train.schedules import cosine_lr
+
+    tm = _tiny_ref_ft(ref)
+    data = [
+        (rng.standard_normal((B, N, 3)).astype(np.float32),
+         rng.integers(0, NUM_CLASSES, size=(B,)).astype(np.int64))
+        for _ in range(4)
+    ]
+    batches = [data[t % len(data)] for t in range(steps)]
+    lrs = [cosine_lr(t, 1e-3, steps) for t in range(steps)]
+
+    ours, state = _run_our_cls(ref, tm, batches, lrs, optim)
+    theirs = _run_torch_cls(ref, tm, batches, lrs, optim)
+
+    # early steps: near-bitwise; late steps: allow f32 drift accumulation
+    np.testing.assert_allclose(ours[:10], theirs[:10], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-2, atol=2e-3)
+
+    # final parameters: re-extract the torch weights through the same
+    # transplant mapping and compare trees. Adam's sign-normalized updates
+    # turn last-ulp gradient differences into O(lr) per-step displacement
+    # differences, so the bound here is accumulated-drift-sized
+    # (~1e-2 = 10 steps' worth of lr), not bitwise; the per-step LOSS
+    # agreement above is the tight check.
+    final_params, _ = _ft_params(tm)
+    _assert_tree_close(
+        state.params, _to_f32_tree(final_params), rtol=0.1, atol=1e-2,
+        what=f"{optim} final params",
+    )
+
+
+def _torch_nt_xent(torch, z0, z1, temperature=0.1):
+    """lightly.loss.NTXentLoss semantics (temperature 0.1, no memory bank,
+    no cross-rank gathering — pretrain.py:155): full-batch SimCLR over the
+    2B concatenation, cosine-sim logits, diagonal masked, positive at
+    offset B."""
+    z = torch.cat([z0, z1], dim=0)
+    z = torch.nn.functional.normalize(z, dim=1)
+    logits = z @ z.t() / temperature
+    n = logits.shape[0]
+    b = z0.shape[0]
+    logits = logits.masked_fill(
+        torch.eye(n, dtype=torch.bool), float("-inf")
+    )
+    labels = (torch.arange(n) + b) % n
+    return torch.nn.functional.cross_entropy(logits, labels)
+
+
+def test_pretrain_trajectory_parity(ref, rng, pinned):
+    """N-step pretrain (IMID + CMID NT-Xent over pc+img branches, one Adam
+    spanning both — pretrain.py:104-124,192-211) trajectory parity."""
+    torch = ref.torch
+    steps = 30
+    IMG = 24
+
+    adapter = ref.classifier.PointCloudInputAdapter((N, 3), D)
+    t_pc = ref.partseg.CrossFormer_pc_mp(
+        input_adapter=adapter, num_latents=G, num_latent_channels=D,
+        group_size=S, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, num_self_attention_layers=2,
+        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0, modal_prior=True,
+    )
+    t_img = ref.partseg.CrossFormer_img_mp(
+        img_height=IMG, img_width=IMG, patch_size=12, num_latent_channels=D,
+        num_cross_attention_layers=1, num_cross_attention_heads=2,
+        num_self_attention_layers=2, num_self_attention_heads=2,
+        mlp_widen_factor=2, max_dpr=0.0, atten_drop=0.0, mlp_drop=0.0,
+        modal_prior=True,
+    )
+
+    from vipformer_tpu.models.crossformer import CrossFormerImg, CrossFormerPC
+    from vipformer_tpu.train.trainer import create_state, make_pretrain_step
+
+    f_pc = CrossFormerPC(
+        num_latents=G, num_latent_channels=D, group_size=S,
+        patch_compat=True, num_cross_attention_layers=1,
+        num_cross_attention_heads=2, num_self_attention_layers=2,
+        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0,
+    )
+    f_img = CrossFormerImg(
+        img_height=IMG, img_width=IMG, patch_size=12, num_latent_channels=D,
+        num_cross_attention_layers=1, num_cross_attention_heads=2,
+        num_self_attention_layers=2, num_self_attention_heads=2,
+        mlp_widen_factor=2, max_dpr=0.0, atten_drop=0.0, mlp_drop=0.0,
+    )
+
+    pc_params, pc_stats = _pc_mp_params_noh(t_pc)
+    hp, hs = _pretrain_head_params(t_pc)
+    pc_params["latent_head"], pc_stats["latent_head"] = hp, hs
+
+    enc = {"cross_attn_n": ca_layer_params(t_img.encoder.cross_attn_1)}
+    for i, sa in enumerate(t_img.encoder.sa_layers):
+        enc[f"sa_{i}"] = sa_layer_params(sa)
+    ihp, ihs = _pretrain_head_params(t_img)
+    img_params = {
+        "patch2emb": {
+            "Dense_0": lin(t_img.patch2emb[1]),
+            "position_emb": t2n(t_img.position_emb),
+        },
+        "encoder": enc,
+        "latent_head": ihp,
+    }
+    img_stats = {"latent_head": ihs}
+
+    cfg = _cfg(optim="adam", lr=1e-3, modality="both", cmid_weight=1.0,
+               img_height=IMG, img_width=IMG, patch_size=12)
+    params = {"pc": _to_f32_tree(pc_params), "img": _to_f32_tree(img_params)}
+    stats = {"pc": _to_f32_tree(pc_stats), "img": _to_f32_tree(img_stats)}
+    state, tx = create_state(cfg, params, stats)
+    step = make_pretrain_step(cfg, f_pc, f_img, tx, neg_groups=1)
+
+    opt = torch.optim.Adam(
+        list(t_pc.parameters()) + list(t_img.parameters()),
+        lr=1e-3, weight_decay=1e-6,
+    )
+    t_pc.train()
+    t_img.train()
+
+    data = [
+        (rng.standard_normal((B, N, 3)).astype(np.float32),
+         rng.standard_normal((B, N, 3)).astype(np.float32),
+         rng.standard_normal((B, IMG, IMG, 3)).astype(np.float32))
+        for _ in range(3)
+    ]
+    key = jax.random.key(0)
+    ours, theirs = [], []
+    for t in range(steps):
+        t1, t2, imgs = data[t % len(data)]
+        batch = {
+            "pc_t1": jnp.asarray(t1),
+            "pc_t2": jnp.asarray(t2),
+            "imgs": jnp.asarray(imgs),
+        }
+        state, metrics = step(state, batch, 1e-3, key)
+        ours.append(float(metrics["loss"]))
+
+        opt.zero_grad(set_to_none=True)
+        pc = torch.cat([torch.tensor(t1), torch.tensor(t2)], dim=0)
+        pc_feats, _ = t_pc(pc)
+        f1, f2 = pc_feats[:B], pc_feats[B:]
+        img_feats, _ = t_img(torch.tensor(imgs))
+        loss_imid = _torch_nt_xent(torch, f1, f2)
+        loss_cmid = _torch_nt_xent(torch, (f1 + f2) / 2, img_feats)
+        total = loss_imid + 1.0 * loss_cmid
+        total.backward()
+        opt.step()
+        theirs.append(float(total.detach()))
+
+    ours, theirs = np.asarray(ours), np.asarray(theirs)
+    np.testing.assert_allclose(ours[:10], theirs[:10], rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-2, atol=2e-3)
+
+    # final params of both branches
+    fp, _ = _pc_mp_params_noh(t_pc)
+    hp2, _ = _pretrain_head_params(t_pc)
+    fp["latent_head"] = hp2
+    # Adam moves each param at most ~lr per step, so total displacement is
+    # bounded by steps*lr = 0.03; the drift bound is a fraction of that
+    # (the tight check is the loss trajectory above)
+    _assert_tree_close(state.params["pc"], _to_f32_tree(fp),
+                       rtol=0.1, atol=2.5e-2, what="pretrain pc params")
