@@ -66,6 +66,55 @@ def test_fused_attention_fits_budget():
     assert not fused_attention_fits(4096, 65536, 128, 128, jnp.float32)
 
 
+def test_packed_attention_matches_xla(rng):
+    """Packed-layout flash kernel == head-split XLA attention, for both the
+    single-chunk (flagship CA, M fits one block) and multi-chunk (large-M
+    Fourier image inputs) paths."""
+    from vipformer_tpu.ops.attention import dot_product_attention
+    from vipformer_tpu.ops.pallas.attention import fused_attention_packed
+
+    b, h, g, m, dh = 2, 4, 8, 96, 8
+    d = h * dh
+    q = jnp.asarray(rng.standard_normal((b, g, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, m, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, m, d)).astype(np.float32))
+
+    def split(x, n):
+        return x.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+
+    o = dot_product_attention(
+        split(q, g), split(k, m), split(v, m),
+        scale=dh**-0.5, deterministic=True,
+    )
+    want = np.asarray(o.transpose(0, 2, 1, 3).reshape(b, g, d))
+    for chunk in (96, 32):  # single chunk, and the flash recurrence
+        got = np.asarray(
+            fused_attention_packed(
+                q, k, v, num_heads=h, scale=dh**-0.5,
+                kv_chunk=chunk, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_packed_attention_gate():
+    from vipformer_tpu.ops.pallas.attention import (
+        _kv_chunk_for,
+        packed_attention_enabled,
+    )
+
+    # never with masks/train-dropout, or mismatched qk/v widths
+    assert not packed_attention_enabled(
+        4, 256, 256, 1024, jnp.ones((2, 1024), bool), 0.0, True
+    )
+    assert not packed_attention_enabled(4, 256, 256, 1024, None, 0.1, False)
+    assert not packed_attention_enabled(4, 256, 128, 1024, None, 0.0, True)
+    # chunking picks divisors (50176 = 224*224 Fourier tokens)
+    assert _kv_chunk_for(1024) == 1024
+    assert _kv_chunk_for(50176) == 1792
+    assert 50176 % _kv_chunk_for(50176) == 0
+
+
 def test_mxu_gather_matches_take_along_axis(rng):
     from vipformer_tpu.ops.pallas.gather import gather_rows_pallas
 

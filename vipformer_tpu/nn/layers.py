@@ -152,6 +152,22 @@ class MultiHeadAttention(nn.Module):
         k = Dense(qk_ch, use_bias=False, dtype=self.dtype, name="k_proj")(x_kv)
         v = Dense(v_ch, use_bias=False, dtype=self.dtype, name="v_proj")(x_kv)
 
+        from vipformer_tpu.ops.pallas.attention import (
+            fused_attention_packed,
+            packed_attention_enabled,
+        )
+
+        if packed_attention_enabled(
+            h, qk_ch, v_ch, x_kv.shape[1], pad_mask, self.dropout,
+            deterministic,
+        ):
+            # heads split inside the kernel: q/k/v stay in the projections'
+            # [B, N, H*C] layout, so no relayout copies materialize in front
+            # of the pallas call (measured 2 x 0.64 ms at flagship shapes,
+            # which ate the head-split kernel's entire win)
+            o = fused_attention_packed(q, k, v, num_heads=h, scale=scale)
+            return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
+
         def split(x):  # [B, N, H*C] -> [B, H, N, C]
             b, n, _ = x.shape
             return x.reshape(b, n, h, -1).transpose(0, 2, 1, 3)

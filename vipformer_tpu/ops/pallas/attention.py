@@ -114,3 +114,170 @@ def fused_attention_enabled(pad_mask, dropout_rate, deterministic) -> bool:
     # larger-M workloads (e.g. Fourier pixel inputs) where the [B,H,G,M]
     # HBM round-trip dominates.
     return False
+
+
+# ---------------------------------------------------------------------------
+# packed-layout flash attention
+#
+# The head-split kernel above needs q/k/v in [B, H, N, dh] — but the model's
+# projections produce [B, N, H*dh], and the transpose that XLA folds into its
+# own attention einsums becomes a real relayout copy in front of a Pallas
+# call (measured 2 x 0.64 ms for k/v at [256, 1024, 256] on v5e, eating the
+# kernel's entire win). This variant takes the projections' layout directly:
+# heads are split INSIDE the kernel (in-VMEM reshape), and the output comes
+# back as [B, G, H*dh], exactly what the o_proj consumes — zero relayouts.
+#
+# M is processed in chunks with running-max/sum softmax state (the standard
+# flash recurrence), so the same kernel serves the flagship cross-attention
+# (M=1024, single chunk) and the non-mp Fourier image path (M ~ 50k tokens,
+# streamed chunk by chunk) that motivated SURVEY §7's "Pallas headroom".
+
+# queries per program grid row; G <= this stays one block
+_Q_BLOCK = 512
+# kv rows per chunk: [Mc, D] k + v blocks plus [G, Mc] f32 logits in VMEM
+_KV_CHUNK = 2048
+
+
+def _kv_chunk_for(m: int, cap: int = _KV_CHUNK) -> int:
+    """Largest divisor of m that is <= cap (m itself when m <= cap)."""
+    if m <= cap:
+        return m
+    best = 1
+    d = 1
+    while d * d <= m:
+        if m % d == 0:
+            if d <= cap:
+                best = max(best, d)
+            if m // d <= cap:
+                best = max(best, m // d)
+        d += 1
+    return best
+
+
+def _packed_kernel(scale, h, q_ref, k_ref, v_ref, o_ref,
+                   acc_ref, m_ref, l_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [G, H*dh]
+    k = k_ref[0]  # [Mc, H*dh]
+    v = v_ref[0]
+    dh = q.shape[1] // h
+    # heads live on the lane axis as static 64/96-wide slices — Mosaic
+    # cannot shape-cast lanes into a new axis, so the head loop is unrolled
+    # (h is 4-6 everywhere in this model family)
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        q_h = q[:, sl].astype(jnp.float32)  # [G, dh]
+        k_h = k[:, sl].astype(jnp.float32)  # [Mc, dh]
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [G, Mc]
+        m_prev = m_ref[head, :]  # [G]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        corr = jnp.exp(m_prev - m_new)  # [G]
+        p = jnp.exp(logits - m_new[:, None])  # [G, Mc]
+        l_ref[head, :] = l_ref[head, :] * corr + jnp.sum(p, axis=-1)
+        m_ref[head, :] = m_new
+        pv = jnp.dot(
+            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        )  # [G, dh]
+        acc_ref[head] = acc_ref[head] * corr[:, None] + pv
+
+    @pl.when(j == nj - 1)
+    def _():
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            o_ref[0, :, sl] = (
+                acc_ref[head] / l_ref[head, :][:, None]
+            ).astype(o_ref.dtype)
+
+
+@partial(
+    jax.jit, static_argnames=("num_heads", "scale", "kv_chunk", "interpret")
+)
+def fused_attention_packed(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    num_heads: int,
+    scale: float,
+    kv_chunk: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Flash attention on packed layouts.
+
+    q [B, G, H*dh], k [B, M, H*dh], v [B, M, H*dv] -> [B, G, H*dv]; no
+    masking/dropout (callers gate). Requires dh == dv (true everywhere in
+    this model family: reference `partseg.py:47-50` projects q/k/v to the
+    same width).
+    """
+    b, g, d = q.shape
+    m = k.shape[1]
+    assert v.shape[2] == d, "packed kernel requires matching qk/v widths"
+    mc = kv_chunk or _kv_chunk_for(m)
+    if m % mc:
+        raise ValueError(f"M={m} not divisible by kv chunk {mc}")
+    h = num_heads
+    dh = d // h
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    out = pl.pallas_call(
+        partial(_packed_kernel, float(scale), h),
+        out_shape=jax.ShapeDtypeStruct((b, g, d), v.dtype),
+        grid=(b, m // mc),
+        in_specs=[
+            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, d), lambda i, j: (i, 0, 0), memory_space=ms
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, g, dh), jnp.float32),
+            pltpu.VMEM((h, g), jnp.float32),
+            pltpu.VMEM((h, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out
+
+
+def packed_attention_enabled(
+    num_heads: int,
+    qk_ch: int,
+    v_ch: int,
+    m: int,
+    pad_mask,
+    dropout_rate: float,
+    deterministic: bool,
+) -> bool:
+    """Gate for the packed kernel at the MHA layer (before head split).
+
+    On by default on TPU for the large-M cross-attention (M >= 512), where
+    it replaces the XLA path's [B, H, G, M] f32 HBM round-trip (measured
+    2.50 -> 1.06 ms at [256, 4, 128, 1024] on v5e, with zero relayout
+    copies). Small-M self-attention stays on XLA, which fuses those shapes
+    well already.
+    """
+    if pad_mask is not None or (dropout_rate > 0.0 and not deterministic):
+        return False
+    if qk_ch != v_ch or qk_ch % num_heads:
+        return False
+    if USE_FUSED_ATTENTION is not None:
+        return USE_FUSED_ATTENTION
+    if jax.default_backend() != "tpu":
+        return False
+    return m >= 512 and _kv_chunk_for(m) >= 256

@@ -61,6 +61,21 @@ def _fps_kernel(npoint: int, n: int, xs_ref, ys_ref, zs_ref, start_ref,
     out_ref[...] = acc
 
 
+def _auto_block_rows(b: int, n: int) -> int:
+    """Batch rows per program. Bigger blocks amortize the VPU's per-op
+    overhead across more sublane tiles — the sequential npoint-step loop
+    issues ~10 small ops per step, and at 8 rows each op touches only 8
+    vregs (measured 1.64 ms at [256, 1024, 128] on v5e vs 0.22 ms at 128
+    rows). Capped so the resident planes (3 coord + dist, 4 x rows x N f32)
+    stay well inside VMEM, and by the padded batch so tiny batches don't
+    blow up 16x."""
+    # ~8 MB of resident f32 planes: 4 planes x rows x N x 4B
+    max_rows_by_vmem = (512 * 1024) // max(n, 1)
+    cap = max(8, min(128, max_rows_by_vmem))
+    b8 = -(-b // 8) * 8
+    return min(cap, b8)
+
+
 @partial(
     jax.jit, static_argnames=("npoint", "block_rows", "interpret")
 )
@@ -68,15 +83,18 @@ def fps_pallas(
     xyz: Array,
     npoint: int,
     start: Array | None = None,
-    block_rows: int = 8,
+    block_rows: int | None = None,
     interpret: bool = False,
 ) -> Array:
     """FPS indices [B, npoint] for xyz [B, N, >=3] (first 3 channels used).
 
     `start`: optional int32 [B] start indices (defaults to 0, matching the
     deterministic mode of ops.geometry.farthest_point_sample).
+    `block_rows`: batch rows per program; None picks a measured-good size.
     """
     b, n, _ = xyz.shape
+    if block_rows is None:
+        block_rows = _auto_block_rows(b, n)
     if start is None:
         start = jnp.zeros((b,), jnp.int32)
     # Mosaic mishandles single-row (Bt=1) blocks (rank-1 size-1 vector

@@ -4,13 +4,17 @@ The XLA path materializes the [B, S, N] distance matrix in HBM and runs a
 full bitonic sort per row (~8 ms at [256, 128, 1024], the largest op in the
 patch pipeline). This kernel keeps everything in VMEM per batch row:
 
-* distances via one MXU matmul (|q|^2 + |p|^2 - 2 q.p^T),
+* distances via exact f32 difference-of-squares on the VPU,
 * keys packed as (distance bits | point index) — non-negative f32 bit
   patterns order like the floats, and unique index bits make every key
   distinct, so min-extraction needs no tie handling,
-* k iterations of {min, first-index-of-min, mask} — pure VPU passes over
-  the resident [S, N] key block; selected indices accumulate in registers
-  via one-hot adds (same pattern as the FPS kernel).
+* k iterations of a THRESHOLD scan: because keys are unique and extracted
+  in increasing order, iteration i needs `min(keys > last_min)` — one
+  fused select+min read pass over the resident [S, N] key block with NO
+  store. (The earlier masked-extraction variant rewrote the 0.5 MB key
+  block every iteration; dropping the stores measured 3.37 -> 2.19 ms at
+  [256, 128, 1024] on v5e.) Selected indices accumulate in registers via
+  one-hot adds (same pattern as the FPS kernel).
 
 Matches ops.geometry.knn(method="packed") exactly (same key construction).
 """
@@ -46,16 +50,19 @@ def _knn_kernel(k: int, idx_bits: int, q_ref, pt_ref, out_ref):
 
     out_col = jax.lax.broadcasted_iota(jnp.int32, (s, k), 1)
     acc0 = jnp.zeros((s, k), dtype=jnp.int32)
+    thr0 = jnp.full((s, 1), -1, jnp.int32)  # below every non-negative key
 
     def body(i, carry):
-        keys, acc = carry
-        # one reduce yields BOTH the min distance and its index (low bits)
-        m = jnp.min(keys, axis=-1, keepdims=True)  # [S, 1]
+        thr, acc = carry
+        # keys is loop-invariant (read-only); one fused select+min pass
+        # yields the next-smallest key, whose low bits are its index
+        m = jnp.min(
+            jnp.where(keys > thr, keys, INT_MAX), axis=-1, keepdims=True
+        )  # [S, 1]
         acc = acc + jnp.where(out_col == i, m & mask, 0)
-        keys = jnp.where(keys == m, INT_MAX, keys)
-        return keys, acc
+        return m, acc
 
-    _, acc = jax.lax.fori_loop(0, k, body, (keys, acc0))
+    _, acc = jax.lax.fori_loop(0, k, body, (thr0, acc0))
     out_ref[0] = acc
 
 
