@@ -97,6 +97,88 @@ def test_packed_attention_matches_xla(rng):
         np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_fused_stem_matches_unfused(rng):
+    """Fused gather+Group2Emb kernel == divide_patches + Group2Emb (eval),
+    with nontrivial folded BatchNorm statistics."""
+    from vipformer_tpu.nn.pointnet import Group2Emb
+    from vipformer_tpu.ops.geometry import divide_patches
+    from vipformer_tpu.ops.pallas.stem import (
+        fused_stem_supported,
+        group2emb_fused_apply,
+    )
+    from vipformer_tpu.ops import geometry
+    from vipformer_tpu.ops.geometry import (
+        farthest_point_sample, index_points, knn,
+    )
+
+    b, n, g, s, d = 2, 64, 8, 16, 32
+    assert fused_stem_supported(g, s, n, True, False)
+    pts = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+    g2e = Group2Emb(d)
+    variables = g2e.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, g, s, 3)))
+    # nontrivial BN stats so the affine folding is actually exercised
+    stats = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(
+            rng.uniform(0.5, 1.5, x.shape).astype(np.float32)
+        ),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+
+    neighbors, centers = divide_patches(pts, g, s)
+    want = np.asarray(g2e.apply(variables, neighbors, True))
+
+    center_idx = farthest_point_sample(pts, g)
+    centers2 = index_points(pts, center_idx)
+    idx = knn(s, pts, centers2)
+    got = np.asarray(
+        group2emb_fused_apply(
+            variables["params"], variables["batch_stats"],
+            pts, centers2, idx, jnp.float32, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_stem_extra_channels(rng):
+    """Semseg-style xyz+rgb points: only xyz is centered (rgb rides along
+    uncentered, like divide_patches)."""
+    from vipformer_tpu.nn.pointnet import Group2Emb
+    from vipformer_tpu.ops.geometry import (
+        divide_patches, farthest_point_sample, index_points, knn,
+    )
+    from vipformer_tpu.ops.pallas.stem import group2emb_fused_apply
+
+    b, n, g, s, d = 2, 64, 8, 16, 32
+    pts = jnp.asarray(rng.standard_normal((b, n, 6)).astype(np.float32))
+    g2e = Group2Emb(d)
+    variables = g2e.init({"params": jax.random.key(0)},
+                         jnp.zeros((1, g, s, 6)))
+    neighbors, centers = divide_patches(pts, g, s)
+    want = np.asarray(g2e.apply(variables, neighbors, True))
+    center_idx = farthest_point_sample(pts, g)
+    centers2 = index_points(pts, center_idx)
+    idx = knn(s, pts[..., :3], centers2[..., :3])
+    got = np.asarray(
+        group2emb_fused_apply(
+            variables["params"], variables["batch_stats"],
+            pts, centers2, idx, jnp.float32, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_stem_gate():
+    from vipformer_tpu.ops.pallas.stem import fused_stem_supported
+
+    assert fused_stem_supported(128, 32, 1024, True, False)
+    assert not fused_stem_supported(128, 32, 1024, False, False)  # train
+    assert not fused_stem_supported(128, 32, 1024, True, True)  # compat
+    assert not fused_stem_supported(8, 4, 256, True, False)  # 32 rows
+    assert not fused_stem_supported(128, 32, 8192, True, False)  # big N
+
+
 def test_packed_attention_gate():
     from vipformer_tpu.ops.pallas.attention import (
         _kv_chunk_for,

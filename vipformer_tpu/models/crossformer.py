@@ -165,6 +165,12 @@ class _PointPatchStem(nn.Module):
 
     @nn.compact
     def __call__(self, pts: Array, deterministic: bool = True):
+        from vipformer_tpu.ops.pallas.stem import (
+            fused_stem_enabled,
+            fused_stem_supported,
+            group2emb_fused_apply,
+        )
+
         dt = self.dtype or pts.dtype
         pts_embs = PointCloudInputAdapter(
             self.num_latent_channels, dtype=self.dtype, name="input_adapter"
@@ -172,13 +178,41 @@ class _PointPatchStem(nn.Module):
         fps_key = (
             self.make_rng("fps") if self.has_rng("fps") else None
         )
-        neighbors, centers = divide_patches(
-            pts, self.num_latents, self.group_size, fps_key,
-            neighbor_dtype=dt, compat=self.patch_compat,
-        )
-        group_embs = Group2Emb(
+        g2e = Group2Emb(
             self.num_latent_channels, dtype=self.dtype, name="group2emb"
-        )(neighbors, deterministic)
+        )
+        use_fused = (
+            not self.is_initializing()
+            and fused_stem_enabled()
+            and fused_stem_supported(
+                self.num_latents, self.group_size, pts.shape[1],
+                deterministic, self.patch_compat,
+            )
+        )
+        if use_fused:
+            # eval fast path (ops/pallas/stem.py): gather + normalize +
+            # Group2Emb fused in VMEM; same weights, no [B, G, S, C]
+            # neighbor tensor ever reaches HBM
+            from vipformer_tpu.ops.geometry import (
+                farthest_point_sample, index_points, knn,
+            )
+
+            center_idx = farthest_point_sample(
+                pts, self.num_latents, fps_key
+            )
+            centers = index_points(pts, center_idx)
+            idx = knn(self.group_size, pts[..., :3], centers[..., :3])
+            group_embs = group2emb_fused_apply(
+                self.get_variable("params", "group2emb"),
+                self.get_variable("batch_stats", "group2emb"),
+                pts, centers, idx, dt,
+            )
+        else:
+            neighbors, centers = divide_patches(
+                pts, self.num_latents, self.group_size, fps_key,
+                neighbor_dtype=dt, compat=self.patch_compat,
+            )
+            group_embs = g2e(neighbors, deterministic)
         pos_embs = PositionEmb(
             self.num_latent_channels, dtype=self.dtype, name="position_emb"
         )(centers.astype(dt))
