@@ -36,6 +36,22 @@ BASELINE_CLOUDS_PER_SEC = 160.0 / 1.015  # reference TABLE I latency row
 FLAGSHIP = "E1CL8SL-H4D256-L128-MR2"
 NUM_POINTS = 1024
 
+# bf16 matmul peak per chip, used for the MFU figure in the report.
+_PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+}
+
+
+def _chip_peak_tflops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in _PEAK_TFLOPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return None
+
 
 def bench_forward(batch_size: int, reps: int = 5):
     """Time K chained forwards inside one jit and difference two K values.
@@ -271,6 +287,32 @@ def main():
         "baseline": "TABLE I: 160-cloud batch / 1.015 s on "
         "6-GPU node = 157.6 clouds/s",
     }
+    try:
+        from vipformer_tpu.evaluation.flops import forward_flops
+
+        on_tpu = jax.default_backend() == "tpu"
+        cfg = Config(
+            compute_dtype="bfloat16" if on_tpu else "float32",
+            num_obj_classes=40,
+            **decode_arch_name(FLAGSHIP),
+        )
+        model = build_ft_cls(cfg)
+        b = bestcfg["batch"]
+        pts = jnp.asarray(
+            np.random.default_rng(0).standard_normal((b, NUM_POINTS, 3)),
+            dtype=jnp.float32,
+        )
+        variables = model.init({"params": jax.random.key(0)}, pts)
+        flops = forward_flops(model, variables, pts)
+        eff_tflops = flops / bestcfg["p50_batch_latency_s"] / 1e12
+        detail["flops_per_batch"] = flops
+        detail["effective_tflops"] = round(eff_tflops, 1)
+        peak = _chip_peak_tflops()
+        if peak:
+            detail["mfu"] = round(eff_tflops / peak, 4)
+            detail["chip_peak_tflops_bf16"] = peak
+    except Exception as e:
+        print(f"# mfu calc failed: {e}", file=sys.stderr)
     if not quick:
         try:
             seg = bench_partseg()
@@ -283,6 +325,18 @@ def main():
             )
         except Exception as e:
             print(f"# partseg failed: {e}", file=sys.stderr)
+        try:
+            tr = bench_train_step()
+            print(f"# train: {tr}", file=sys.stderr)
+            detail["pretrain_clouds_per_sec_2048pt"] = round(
+                tr["clouds_per_sec"], 1
+            )
+            detail["pretrain_step_ms_b192"] = round(1e3 * tr["step_s"], 1)
+            detail["pretrain_vs_baseline_node"] = round(
+                tr["clouds_per_sec"] / (43000 / 22.2), 2
+            )
+        except Exception as e:
+            print(f"# train bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

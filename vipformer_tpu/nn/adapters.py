@@ -11,11 +11,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vipformer_tpu.nn.init import latent_init, randn_init
+from vipformer_tpu.nn.init import (
+    latent_init,
+    randn_init,
+    torch_linear_bias,
+    torch_linear_kernel,
+)
 from vipformer_tpu.nn.layers import Dense
 
 Array = jax.Array
 Dtype = Any
+
+
+class _PatchDense(nn.Module):
+    """Patch embedding applied as a strided convolution.
+
+    Holds the SAME parameters as `Dense` over flattened patches — kernel
+    [p*p*c, D] (row-major (p1, p2, c) like the reference's rearrange) and
+    bias [D] — but applies them with `lax.conv_general_dilated` at
+    stride p. The flatten route's 6-D reshape+transpose lowers on TPU to
+    dozens of per-channel async slices over [B, c, H, W] (~370 us each —
+    it dominated the whole image branch); the conv form is one implicit
+    im2col matmul on the MXU.
+    """
+
+    features: int
+    patch_size: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, imgs: Array) -> Array:
+        p = self.patch_size
+        c = imgs.shape[-1]
+        fan_in = p * p * c
+        kernel = self.param(
+            "kernel", torch_linear_kernel(), (fan_in, self.features)
+        )
+        bias = self.param(
+            "bias", torch_linear_bias(fan_in), (self.features,)
+        )
+        imgs, kernel, bias = nn.dtypes.promote_dtype(
+            imgs, kernel, bias, dtype=self.dtype
+        )
+        # no preferred_element_type: the TPU conv accumulates in f32 on the
+        # MXU regardless, and conv's grad rule rejects a widened output dtype
+        y = jax.lax.conv_general_dilated(
+            imgs,
+            kernel.reshape(p, p, c, self.features),
+            window_strides=(p, p),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, gh, gw, d = y.shape
+        return y.reshape(b, gh * gw, d) + bias
 
 
 class ImagePatchify(nn.Module):
@@ -23,7 +71,9 @@ class ImagePatchify(nn.Module):
 
     Reference mp image branch (`pointcloud/partseg.py:628-637`): rearrange
     'b (h p1) (w p2) c -> b (h w) (p1 p2 c)' + Linear(D); position embedding
-    is a learned randn(1, P, D) parameter.
+    is a learned randn(1, P, D) parameter. The rearrange+Linear pair is
+    computed as one strided conv (see `_PatchDense`) with an identical
+    parameter layout, so checkpoints trained either way interchange.
     """
 
     patch_size: int
@@ -35,9 +85,9 @@ class ImagePatchify(nn.Module):
         b, h, w, c = imgs.shape
         p = self.patch_size
         gh, gw = h // p, w // p
-        x = imgs.reshape(b, gh, p, gw, p, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
-        patch_embs = Dense(self.num_latent_channels, dtype=self.dtype)(x)
+        patch_embs = _PatchDense(
+            self.num_latent_channels, p, dtype=self.dtype, name="Dense_0"
+        )(imgs)
         pos = self.param(
             "position_emb",
             randn_init(),
