@@ -21,22 +21,22 @@ def setup(cfg: Config, snapshot_sources: bool = True):
     jax.distributed.initialize() joins the job before the mesh is built —
     the NCCL process-group equivalent.
     """
-    import os
-
+    from vipformer_tpu.parallel import maybe_initialize_distributed
     from vipformer_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    multi_process = maybe_initialize_distributed()
     run = RunDir(cfg.run_dir, cfg.proj_name, cfg.exp_name)
     logger = Logger(run, cfg.proj_name, to_file=cfg.log_to_file)
     mesh = make_mesh(cfg.num_devices, cfg.model_axis)
     logger.write(
         f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} "
         f"{mesh.devices.flat[0].platform} device(s)"
+        + (
+            f" [process {jax.process_index()}/{jax.process_count()}]"
+            if multi_process
+            else ""
+        )
     )
     if snapshot_sources:
         # reference snapshots entry+model sources per run (utils.py:338-346);

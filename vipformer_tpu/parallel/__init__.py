@@ -4,6 +4,7 @@ from vipformer_tpu.parallel.mesh import (
     batch_sharding,
     data_axis_size,
     make_mesh,
+    maybe_initialize_distributed,
     replicated,
 )
 from vipformer_tpu.parallel.sharding import (
@@ -18,6 +19,7 @@ __all__ = [
     "batch_sharding",
     "data_axis_size",
     "make_mesh",
+    "maybe_initialize_distributed",
     "replicated",
     "param_shardings",
     "place_state",

@@ -25,6 +25,43 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed() -> bool:
+    """Join a multi-process JAX job if coordinator env vars are present.
+
+    Env contract (set by pod launchers or tests): `JAX_COORDINATOR_ADDRESS`
+    plus optionally `JAX_NUM_PROCESSES` / `JAX_PROCESS_ID` (TPU pods
+    auto-detect the latter two). This is the process-group bring-up the
+    reference does via `mp.spawn` + `dist.init_process_group`
+    (`pretrain.py:339`, `vipformer/utils.py` NCCL setup); here the
+    distributed runtime only exchanges topology — gradient reductions are
+    XLA collectives inserted under jit, not NCCL calls.
+
+    Returns True when the process is part of a >1-process job. Raises on a
+    failed bring-up (a half-joined job must not train silently).
+    """
+    import os
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        # NOTE: jax.process_count() would initialise the XLA backend, which
+        # must not happen before jax.distributed.initialize — so the no-env
+        # fast path checks the distributed client state instead
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client is not None
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:  # already joined
+        return True
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    return jax.process_count() > 1
+
+
 def make_mesh(
     num_devices: int = 0, model_axis: int = 1, devices=None
 ) -> Mesh:
