@@ -132,3 +132,67 @@ def test_pretrain_cli_device_augs(tmp_path):
     cfg = tiny_cfg(tmp_path, exp_name="ptdev", epochs=1, device_augs=True)
     out = pretrain.main(cfg)
     assert 0.0 <= out["best_acc"] <= 1.0
+
+
+def test_plateau_fires_through_cli(tmp_path):
+    """The plateau scheduler must actually receive the epoch metric from the
+    CLI loop (the reference's plateau could never fire: its scheduler.step()
+    at pretrain.py:311 passes no metric, which raises in torch). lr=100
+    guarantees the loss doesn't improve, so patience=0 must halve the lr
+    from epoch 2 on."""
+    import json
+
+    from vipformer_tpu.cli import ft_cls
+
+    cfg = tiny_cfg(
+        tmp_path,
+        epochs=4,
+        lr=100.0,
+        scheduler="plateau",
+        factor=0.5,
+        patience=0,
+        exp_name="plateau",
+    )
+    ft_cls.main(cfg)
+    path = (
+        tmp_path / "runs" / cfg.proj_name / "plateau" / "metrics.jsonl"
+    )
+    lrs = [json.loads(l)["lr"] for l in path.read_text().splitlines()]
+    # the diverged (NaN) loss never improves, so patience=0 halves the lr
+    # every epoch after the first — exactly torch ReduceLROnPlateau's
+    # treatment of a non-improving metric
+    assert lrs == [100.0, 50.0, 25.0, 12.5]
+
+
+def test_wandb_channel_mirrors_metrics(tmp_path, monkeypatch):
+    """With cfg.wandb=True and a wandb module importable, the CLIs init the
+    channel (self-hosted url honored, reference pretrain.py:44-47) and
+    Logger.metrics mirrors every JSONL record into wandb.log."""
+    import sys
+    import types
+
+    calls = {"init": [], "log": [], "login": []}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls["init"].append(kw)
+    fake.login = lambda key=None: calls["login"].append(key)
+    fake.log = lambda kv, step=None: calls["log"].append((step, kv))
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from vipformer_tpu.cli import ft_cls
+
+    cfg = tiny_cfg(
+        tmp_path,
+        wandb=True,
+        wb_url="http://wb.example:28282",
+        wb_key="sekrit",
+        exp_name="wb",
+    )
+    ft_cls.main(cfg)
+    import os
+
+    assert os.environ.get("WANDB_BASE_URL") == "http://wb.example:28282"
+    assert calls["login"] == ["sekrit"]
+    assert calls["init"] == [{"project": cfg.proj_name, "name": "wb"}]
+    assert len(calls["log"]) == cfg.epochs
+    step0, kv0 = calls["log"][0]
+    assert step0 == 0 and "lr" in kv0 and "train_loss" in kv0

@@ -28,6 +28,9 @@ def setup(cfg: Config, snapshot_sources: bool = True):
     multi_process = maybe_initialize_distributed()
     run = RunDir(cfg.run_dir, cfg.proj_name, cfg.exp_name)
     logger = Logger(run, cfg.proj_name, to_file=cfg.log_to_file)
+    from vipformer_tpu.train.logging import maybe_wandb
+
+    logger.wandb = maybe_wandb(cfg, logger)
     mesh = make_mesh(cfg.num_devices, cfg.model_axis)
     logger.write(
         f"mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} "

@@ -84,8 +84,13 @@ def main(cfg: Config) -> dict:
     from vipformer_tpu.utils.cache import train_key
 
     key = train_key(cfg.seed)
+    epoch_metric = None  # feeds the plateau scheduler
     for epoch in range(cfg.epochs):
-        lr = schedule.lr(epoch)
+        # plateau gets last epoch's mean train loss (None on the first
+        # epoch); NOTE the reference's plateau was unusable -- its
+        # scheduler.step() at pretrain.py:311 passes no metric, which
+        # raises in torch -- so this is the intended semantics, working
+        lr = schedule.lr(epoch, epoch_metric)
         train_loader.set_epoch(epoch)
         loss_m, acc_m = AverageMeter(), AverageMeter()
         t0 = time.time()
@@ -98,6 +103,7 @@ def main(cfg: Config) -> dict:
             loss_m.update(float(metrics["loss"]), batch_size)
             acc_m.update(float(metrics["acc"]), batch_size)
         train_time = time.time() - t0
+        epoch_metric = loss_m.avg
 
         results = evaluate(
             eval_step, state.params, state.batch_stats,

@@ -118,8 +118,13 @@ def main(cfg: Config) -> dict:
     from vipformer_tpu.utils.cache import train_key
 
     key = train_key(cfg.seed)
+    epoch_metric = None  # feeds the plateau scheduler
     for epoch in range(start_epoch, cfg.epochs):
-        lr = schedule.lr(epoch)
+        # plateau gets last epoch's mean train loss (None on the first
+        # epoch); NOTE the reference's plateau was unusable -- its
+        # scheduler.step() at pretrain.py:311 passes no metric, which
+        # raises in torch -- so this is the intended semantics, working
+        lr = schedule.lr(epoch, epoch_metric)
         train_loader.set_epoch(epoch)
         meters = {k: AverageMeter() for k in ("loss", "loss_imid", "loss_cmid")}
         t0 = time.time()
@@ -140,6 +145,7 @@ def main(cfg: Config) -> dict:
                     f"total {meters['loss'].avg:.4f}"
                 )
         train_time = time.time() - t0
+        epoch_metric = meters["loss"].avg
 
         # --- SVM linear probe (the continuous quality gate)
         t0 = time.time()

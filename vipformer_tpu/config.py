@@ -126,6 +126,13 @@ class Config:
     fused_attention: bool = True  # Pallas fused attention when on TPU
     log_to_file: bool = True
 
+    # --- wandb channel (parser.py:159-161; self-hosted server supported).
+    # Off by default: the JSONL metrics stream is always written and is the
+    # source of truth; wandb mirrors it when enabled and importable.
+    wandb: bool = False
+    wb_url: str = "http://localhost:28282"
+    wb_key: str = ""
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 

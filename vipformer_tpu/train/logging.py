@@ -47,6 +47,7 @@ class Logger:
         sh.setFormatter(fmt)
         self._logger.addHandler(sh)
         self._metrics_path = None
+        self.wandb = None  # set by cli.common.setup via maybe_wandb
         if run is not None and to_file and is_chief():
             ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
             fh = pylogging.FileHandler(run.file(f"{ts}.log"))
@@ -59,17 +60,38 @@ class Logger:
             self._logger.info(msg)
 
     def metrics(self, step: int, **kv) -> None:
-        if self._metrics_path and is_chief():
+        if not is_chief():
+            return
+        if self._metrics_path:
             with open(self._metrics_path, "a") as f:
                 f.write(json.dumps({"step": step, **kv}, default=float) + "\n")
+        if self.wandb is not None:
+            try:
+                self.wandb.log(dict(kv), step=step)
+            except Exception as e:  # a dead server must not kill training
+                self._logger.warning("wandb.log failed: %s", e)
+                self.wandb = None
 
 
-def maybe_wandb(cfg):
-    """Optional wandb hookup (the package is not baked into this image)."""
+def maybe_wandb(cfg, logger: "Logger | None" = None):
+    """Optional wandb channel (reference `pretrain.py:44-47`,
+    `parser.py:159-161`): honors the self-hosted server url and login key,
+    chief-process only. Returns the wandb module or None; a missing package
+    or failed login is logged, never fatal — `metrics.jsonl` is always
+    written regardless.
+    """
+    if not getattr(cfg, "wandb", False) or not is_chief():
+        return None
     try:
-        import wandb  # noqa
+        import wandb
 
+        if cfg.wb_url:
+            os.environ["WANDB_BASE_URL"] = cfg.wb_url
+        if cfg.wb_key:
+            wandb.login(key=cfg.wb_key)
         wandb.init(project=cfg.proj_name, name=cfg.exp_name)
         return wandb
-    except Exception:
+    except Exception as e:
+        if logger is not None:
+            logger.write(f"wandb requested but unavailable: {e}")
         return None
