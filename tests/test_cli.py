@@ -196,3 +196,54 @@ def test_wandb_channel_mirrors_metrics(tmp_path, monkeypatch):
     assert len(calls["log"]) == cfg.epochs
     step0, kv0 = calls["log"][0]
     assert step0 == 0 and "lr" in kv0 and "train_loss" in kv0
+
+
+def test_dump_feats_artifacts_and_viewer(tmp_path):
+    """--dump_feats writes the {pt,ft}_test_feats_labels.npz artifacts the
+    t-SNE viewer consumes (reference {ft,pt}_{MN,SO}_test_feats_labels.pth
+    -> show_feats.ipynb flow), and show_feats.py --feats_file renders them."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from vipformer_tpu.cli import ft_cls, pretrain
+
+    cfg = tiny_cfg(tmp_path, dump_feats=True, exp_name="dumpft")
+    ft_cls.main(cfg)
+    ft_npz = (
+        tmp_path / "runs" / cfg.proj_name / "dumpft" / "files"
+        / "ft_test_feats_labels.npz"
+    )
+    blob = np.load(ft_npz)
+    assert blob["feats"].ndim == 2
+    assert blob["feats"].shape[0] == blob["labels"].shape[0] > 0
+
+    pt_cfg = tiny_cfg(tmp_path, dump_feats=True, epochs=1, exp_name="dumppt")
+    pretrain.main(pt_cfg)
+    pt_npz = (
+        tmp_path / "runs" / cfg.proj_name / "dumppt" / "files"
+        / "pt_test_feats_labels.npz"
+    )
+    assert np.load(pt_npz)["feats"].shape[0] > 0
+
+    out_png = tmp_path / "tsne.png"
+    import os
+
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "tools", "visualization", "show_feats.py",
+            ),
+            "--feats_file", str(ft_npz),
+            "--out", str(out_png),
+            "--max_samples", "100",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr
+    assert out_png.exists() and out_png.stat().st_size > 0

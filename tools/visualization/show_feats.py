@@ -32,7 +32,24 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--out", default="tsne.png")
     ap.add_argument("--max_samples", type=int, default=2000)
+    ap.add_argument(
+        "--feats_file",
+        default=None,
+        help="npz produced by a CLI run with --dump_feats "
+        "(<run>/files/{pt,ft}_test_feats_labels.npz); skips the "
+        "model+dataset pass entirely (reference show_feats.ipynb flow)",
+    )
     args = ap.parse_args()
+
+    if args.feats_file:
+        blob = np.load(args.feats_file)
+        _plot(
+            blob["feats"][: args.max_samples],
+            blob["labels"][: args.max_samples],
+            f"{os.path.basename(args.feats_file)} (t-SNE)",
+            args.out,
+        )
+        return
 
     import jax.numpy as jnp
     from vipformer_tpu.cli.common import collate_points_labels
@@ -76,10 +93,21 @@ def main():
             break
     feats = np.concatenate(feats)[: args.max_samples]
     labels = np.concatenate(labels)[: args.max_samples]
+    _plot(
+        feats,
+        labels,
+        f"{args.dataset} {args.split} backbone features (t-SNE)",
+        args.out,
+    )
 
+
+def _plot(feats, labels, title, out):
     from sklearn.manifold import TSNE
 
-    emb = TSNE(n_components=2, init="pca", perplexity=30).fit_transform(feats)
+    perplexity = min(30, max(2, len(feats) // 4))
+    emb = TSNE(
+        n_components=2, init="pca", perplexity=perplexity
+    ).fit_transform(np.asarray(feats))
 
     import matplotlib
 
@@ -89,9 +117,9 @@ def main():
     plt.figure(figsize=(8, 8))
     plt.scatter(emb[:, 0], emb[:, 1], c=labels, cmap="tab20", s=6, alpha=0.8)
     plt.axis("off")
-    plt.title(f"{args.dataset} {args.split} backbone features (t-SNE)")
-    plt.savefig(args.out, dpi=150, bbox_inches="tight")
-    print(f"wrote {args.out} ({len(feats)} samples)")
+    plt.title(title)
+    plt.savefig(out, dpi=150, bbox_inches="tight")
+    print(f"wrote {out} ({len(feats)} samples)")
 
 
 if __name__ == "__main__":

@@ -122,6 +122,26 @@ def extract_features(feats_fn, params, batch_stats, dataset, batch_size,
     return np.concatenate(feats), np.concatenate(labels)
 
 
+def dump_feats_artifact(run, logger, tag: str, feats, labels) -> str:
+    """Write the test-split backbone features + labels artifact.
+
+    Reference flow: the training scripts save
+    `{ft,pt}_{MN,SO}_test_feats_labels.pth` tensors that
+    `visualization/show_feats.ipynb` (cells 1-11) loads for its t-SNE
+    figures. Here the CLIs write `<run>/files/<tag>_test_feats_labels.npz`
+    (keys `feats` [N, 2D] and `labels` [N]) behind `--dump_feats`, and
+    `tools/visualization/show_feats.py --feats_file` renders it.
+    """
+    import os as _os
+
+    path = run.file(_os.path.join("files", f"{tag}_test_feats_labels.npz"))
+    np.savez(path, feats=np.asarray(feats), labels=np.asarray(labels))
+    logger.write(
+        f"dumped {len(np.asarray(labels))} test feature vectors -> {path}"
+    )
+    return path
+
+
 def collate_points_labels(samples):
     pts = np.stack([s[0] for s in samples])
     labels = np.asarray([s[1] for s in samples], dtype=np.int64)

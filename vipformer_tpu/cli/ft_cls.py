@@ -150,6 +150,14 @@ def main(cfg: Config) -> dict:
             test_acc=test_acc, best_acc=best_acc, train_time=train_time,
         )
     logger.write(f"final best test acc {best_acc:.4f} at epoch {best_epoch}")
+    if cfg.dump_feats:
+        from vipformer_tpu.train import make_feats_fn
+
+        feats, labels = common.extract_features(
+            make_feats_fn(model), state.params, state.batch_stats,
+            test_set, cfg.test_batch_size, mesh, collate_cls,
+        )
+        common.dump_feats_artifact(run, logger, "ft", feats, labels)
     return {"best_acc": best_acc, "best_epoch": best_epoch}
 
 

@@ -196,6 +196,11 @@ def main(cfg: Config) -> dict:
             test_time=test_time,
         )
     logger.write(f"final best probe acc {best_acc:.4f} at epoch {best_epoch}")
+    if cfg.dump_feats and cfg.epochs > start_epoch:
+        from vipformer_tpu.cli.common import dump_feats_artifact
+
+        # te_feats/te_labels hold the last probe epoch's test-split features
+        dump_feats_artifact(run, logger, "pt", te_feats, te_labels)
     return {"best_acc": best_acc, "best_epoch": best_epoch}
 
 

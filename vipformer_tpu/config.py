@@ -126,6 +126,10 @@ class Config:
     fused_attention: bool = True  # Pallas fused attention when on TPU
     log_to_file: bool = True
 
+    # write <run>/files/{pt,ft}_test_feats_labels.npz for the t-SNE viewer
+    # (reference's {ft,pt}_{MN,SO}_test_feats_labels.pth artifacts)
+    dump_feats: bool = False
+
     # --- wandb channel (parser.py:159-161; self-hosted server supported).
     # Off by default: the JSONL metrics stream is always written and is the
     # source of truth; wandb mirrors it when enabled and importable.
