@@ -10,6 +10,15 @@ time runs on the TPU instead of a rank-replicated CPU solver.
 
 `fit_svm(..., backend="sklearn")` delegates to sklearn when exact
 libsvm/one-vs-one behavior is wanted and the package is present.
+
+Fidelity at checkpoint-gate scale (tests/test_svm_scale.py, [10k, 512]
+features, 40/15 classes, C in {0.03, 0.1, 1.0}): at high class
+separability both backends agree within noise; at low separability the
+OVR squared-hinge objective scores a few points HIGHER than one-vs-one
+libsvm (e.g. 42.9% vs 37.1% at 15 classes), uniformly across C. Both
+backends rank simulated checkpoints of increasing feature quality
+identically, which is the property the best-checkpoint gate
+(`cli/pretrain.py`) actually relies on.
 """
 
 from __future__ import annotations
