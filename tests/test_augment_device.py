@@ -103,3 +103,62 @@ def test_chain_feeds_model(batch, key):
 
     out = float(fwd(variables, batch, key))
     assert np.isfinite(out)
+
+
+def test_image_jitter_affine_matches_sequential():
+    """The composed single-pass (M, d) ColorJitter must equal applying the
+    three affine ops sequentially in the same order."""
+    import jax
+    import jax.numpy as jnp
+
+    from vipformer_tpu.data.augment_device import (
+        _JITTER_ORDERS,
+        _LUMA,
+        _jitter_affine,
+    )
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 255, (9, 11, 3)).astype(np.float32)
+    luma = np.asarray(_LUMA)
+    for oi in range(6):
+        order = np.asarray(_JITTER_ORDERS)[oi]
+        factors = rng.uniform(0.6, 1.4, 3).astype(np.float32)
+        b, c, s = factors
+
+        ref = x.copy()
+        for k in order:
+            if k == 0:  # brightness
+                ref = b * ref
+            elif k == 1:  # contrast: blend with mean luma of current input
+                g = float(np.mean(ref @ luma))
+                ref = c * ref + (1 - c) * g
+            else:  # saturation: blend with per-pixel luma
+                ref = s * ref + (1 - s) * (ref @ luma)[..., None]
+
+        M, d = _jitter_affine(
+            jnp.asarray(factors), jnp.asarray(x.mean(axis=(0, 1))),
+            jnp.asarray(order),
+        )
+        got = x @ np.asarray(M).T + np.asarray(d)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-2)
+
+
+def test_image_pretrain_chain_shapes_and_stats():
+    import jax
+    import jax.numpy as jnp
+
+    from vipformer_tpu.data.augment_device import image_pretrain_chain
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (6, 137, 137, 3)).astype(np.uint8)
+    out = jax.jit(
+        lambda x, k: image_pretrain_chain(x, k, 144, 144)
+    )(jnp.asarray(imgs), jax.random.key(1))
+    assert out.shape == (6, 144, 144, 3)
+    assert out.dtype == jnp.float32
+    # ImageNet-normalized output of a uniform-noise image sits near 0 +- 1
+    assert abs(float(out.mean())) < 0.6
+    assert 0.4 < float(out.std()) < 2.0
+    # two keys give different augmentations
+    out2 = image_pretrain_chain(jnp.asarray(imgs), jax.random.key(2), 144, 144)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))

@@ -168,6 +168,17 @@ def test_loader_workers_match_inline(tmp_path):
     b = next(iter(Loader(ds, 8, collate_partseg, seed=5, num_workers=4)))
     np.testing.assert_array_equal(a["points"], b["points"])
     np.testing.assert_array_equal(a["seg"], b["seg"])
+    # process-pool workers produce the same deterministic batches too
+    c = next(
+        iter(
+            Loader(
+                ds, 8, collate_partseg, seed=5, num_workers=2,
+                worker_backend="process",
+            )
+        )
+    )
+    np.testing.assert_array_equal(a["points"], c["points"])
+    np.testing.assert_array_equal(a["seg"], c["seg"])
 
 
 def test_pretrain_loader_shapes(tmp_path):

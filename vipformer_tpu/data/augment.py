@@ -329,8 +329,37 @@ def image_transform(
     img: np.ndarray, rng: np.random.Generator, height: int, width: int
 ) -> np.ndarray:
     """Full pretrain image chain on a uint8/float [H, W, 3] image ->
-    normalized float32 [height, width, 3]."""
-    img = np.asarray(img, dtype=np.float32)
+    normalized float32 [height, width, 3].
+
+    uint8 inputs take the PIL path — Resize, then ImageEnhance-based
+    ColorJitter in random op order, exactly what torchvision runs on PIL
+    images in the reference chain (`utils.py:21-25`) — which is also ~10x
+    faster per sample than the numpy float path (PIL's C loops vs numpy
+    temporaries; measured 7.5 -> 0.7 ms at 137->144 px, the difference
+    between starving the chip and feeding it, tools/bench_pipeline.py).
+    Float inputs keep the numpy path.
+    """
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        from PIL import Image, ImageEnhance
+
+        pil = Image.fromarray(img).resize(
+            (width, height), Image.BILINEAR
+        )
+        ops = [
+            ImageEnhance.Brightness,
+            ImageEnhance.Contrast,
+            ImageEnhance.Color,  # torchvision "saturation"
+        ]
+        factors = [rng.uniform(0.6, 1.4) for _ in ops]
+        for i in rng.permutation(len(ops)):
+            pil = ops[i](pil).enhance(factors[i])
+        out = np.asarray(pil, dtype=np.float32) / 255.0
+        if rng.uniform() < 0.5:
+            out = out[:, ::-1, :]
+        return ((out - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+
+    img = img.astype(np.float32)
     if img.max() > 1.5:
         img = img / 255.0
     img = _resize_bilinear(img, height, width)

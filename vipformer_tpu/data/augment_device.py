@@ -181,3 +181,85 @@ def scale_and_translate_device(
     )
     xyz, extra = _split_xyz(pts)
     return _join_xyz(xyz * s + t, extra)
+
+
+# ---------------------------------------------------------------------------
+# image chain (reference `utils.py:21-25`: Resize -> ColorJitter(.4,.4,.4)
+# -> RandomHorizontalFlip -> ToTensor -> Normalize)
+
+_IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+_IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+_LUMA = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+# the 6 possible application orders of (brightness, contrast, saturation)
+_JITTER_ORDERS = jnp.array(
+    [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]],
+    jnp.int32,
+)
+
+
+def _jitter_affine(factors: Array, mean_rgb: Array, order: Array):
+    """Compose one sample's ColorJitter into a single (M [3,3], d [3]).
+
+    Every PIL ImageEnhance op is affine in RGB — brightness `b*x`,
+    saturation `s*x + (1-s)*(luma.x)*1`, contrast `c*x + (1-c)*g*1` with
+    `g` the mean luma of its *input* — and per-channel means transform
+    affinely too, so the randomly-ordered chain collapses exactly to one
+    matrix+offset. One pixel pass applies it (vs. PIL's three sequential
+    image rewrites); the [3,3] composition cost is nothing on the VPU.
+    """
+    b, c, s = factors[0], factors[1], factors[2]
+    eye = jnp.eye(3, dtype=jnp.float32)
+    m_b, d_b = b * eye, jnp.zeros(3)
+    m_s = s * eye + (1.0 - s) * jnp.outer(jnp.ones(3), _LUMA)
+    d_s = jnp.zeros(3)
+    m_c = c * eye  # contrast offset depends on the running mean (below)
+
+    M, d, mu = eye, jnp.zeros(3), mean_rgb
+
+    def apply_op(i, M, d, mu):
+        g = jnp.dot(_LUMA, mu)
+        d_c = (1.0 - c) * g * jnp.ones(3)
+        Ms = jnp.stack([m_b, m_c, m_s])
+        ds = jnp.stack([d_b, d_c, d_s])
+        m_i, d_i = Ms[i], ds[i]
+        return m_i @ M, m_i @ d + d_i, m_i @ mu + d_i
+
+    for step in range(3):
+        M, d, mu = apply_op(order[step], M, d, mu)
+    return M, d
+
+
+def image_pretrain_chain(
+    imgs: Array, key: Array, height: int | None = None,
+    width: int | None = None,
+) -> Array:
+    """Batched on-device image augmentation: [B, H, W, 3] uint8 (or [0,255]
+    float) -> normalized float32 [B, height, width, 3].
+
+    Resize (bilinear, when a target size is given and differs), per-sample
+    randomly-ordered ColorJitter(0.4, 0.4, 0.4) as one fused affine pass,
+    p=.5 horizontal flip, ImageNet normalize — the whole reference chain
+    (`utils.py:21-25`) inside the train step, so the host ships ONE uint8
+    image per sample and does no per-pixel float work at all
+    (tools/bench_pipeline.py measures the host freed from ~1.2 ms/sample).
+    """
+    b = imgs.shape[0]
+    x = imgs.astype(jnp.float32)
+    if height and width and imgs.shape[1:3] != (height, width):
+        x = jax.image.resize(
+            x, (b, height, width, 3), method="linear"
+        )
+    k_f, k_o, k_flip = jax.random.split(key, 3)
+    factors = jax.random.uniform(
+        k_f, (b, 3), minval=0.6, maxval=1.4, dtype=jnp.float32
+    )
+    orders = _JITTER_ORDERS[
+        jax.random.randint(k_o, (b,), 0, _JITTER_ORDERS.shape[0])
+    ]
+    mean_rgb = jnp.mean(x, axis=(1, 2))  # [B, 3]
+    M, d = jax.vmap(_jitter_affine)(factors, mean_rgb, orders)
+    x = jnp.einsum("bhwc,bkc->bhwk", x, M) + d[:, None, None, :]
+    x = jnp.clip(x, 0.0, 255.0) / 255.0
+    flip = jax.random.bernoulli(k_flip, 0.5, (b,))
+    x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+    return (x - _IMAGENET_MEAN) / _IMAGENET_STD

@@ -154,9 +154,21 @@ class ShapeNetRender:
         else:
             pad = rng.integers(0, len(raw), self.num_points - len(raw))
             raw = np.concatenate([raw, raw[pad]], axis=0)
-        im = augment.image_transform(img, rng, self.img_height, self.img_width)
         if self.raw_views:
-            return raw.astype(np.float32), im
+            # device_augs mode: the host only decodes and uint8-resizes
+            # (static shape); the jitter/flip/normalize chain runs inside
+            # the train step (data/augment_device.py:image_pretrain_chain)
+            from PIL import Image
+
+            u8 = np.asarray(img, dtype=np.uint8)
+            if u8.shape[:2] != (self.img_height, self.img_width):
+                u8 = np.asarray(
+                    Image.fromarray(u8).resize(
+                        (self.img_width, self.img_height), Image.BILINEAR
+                    )
+                )
+            return raw.astype(np.float32), u8
+        im = augment.image_transform(img, rng, self.img_height, self.img_width)
         t1 = augment.pretrain_transform(raw, rng)
         t2 = augment.pretrain_transform(raw, rng)
         return t1, t2, im

@@ -12,10 +12,24 @@ trainer shards batches across the device mesh with NamedSharding
 
 from __future__ import annotations
 
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Iterator, Optional
 
 import numpy as np
+
+# process-pool workers get the dataset once via the fork initializer
+# (copy-on-write), not pickled per task
+_WORKER_DATASET = None
+
+
+def _process_pool_init(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_pool_get(task):
+    i, seed = task
+    return _WORKER_DATASET.get(int(i), np.random.default_rng(int(seed)))
 
 
 class Loader:
@@ -29,7 +43,12 @@ class Loader:
       collate: fn(list_of_samples) -> batch pytree of numpy arrays.
       shuffle: epoch-seeded permutation when True.
       seed: base seed; actual epoch seed is seed + epoch (set_epoch).
-      num_workers: thread-pool width for sample assembly (0 = inline).
+      num_workers: worker-pool width for sample assembly (0 = inline).
+      worker_backend: "thread" (default; h5py/PIL/numpy release the GIL
+        for the heavy parts) or "process" (torch-DataLoader-style worker
+        processes for GIL-bound datasets; the dataset ships to workers
+        once via fork, samples return pickled — see
+        tools/bench_pipeline.py for the measured trade-off).
     """
 
     def __init__(
@@ -41,6 +60,7 @@ class Loader:
         seed: int = 0,
         drop_last: bool = False,
         num_workers: int = 0,
+        worker_backend: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -49,6 +69,8 @@ class Loader:
         self.seed = seed
         self.drop_last = drop_last
         self.num_workers = num_workers
+        assert worker_backend in ("thread", "process"), worker_backend
+        self.worker_backend = worker_backend
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -64,11 +86,16 @@ class Loader:
         n = len(self.dataset)
         rng = np.random.default_rng(self.seed + self.epoch)
         order = rng.permutation(n) if self.shuffle else np.arange(n)
-        pool = (
-            ThreadPoolExecutor(self.num_workers)
-            if self.num_workers > 0
-            else None
-        )
+        pool = None
+        if self.num_workers > 0:
+            if self.worker_backend == "process":
+                pool = ProcessPoolExecutor(
+                    self.num_workers,
+                    initializer=_process_pool_init,
+                    initargs=(self.dataset,),
+                )
+            else:
+                pool = ThreadPoolExecutor(self.num_workers)
         try:
             for start in range(0, n, self.batch_size):
                 idx = order[start : start + self.batch_size]
@@ -76,15 +103,29 @@ class Loader:
                     break
                 # one child rng per sample, derived deterministically
                 seeds = rng.integers(0, 2**63 - 1, size=len(idx))
-                tasks = [
-                    (int(i), np.random.default_rng(int(s)))
-                    for i, s in zip(idx, seeds)
-                ]
                 if pool is None:
-                    samples = [self.dataset.get(i, r) for i, r in tasks]
+                    samples = [
+                        self.dataset.get(
+                            int(i), np.random.default_rng(int(s))
+                        )
+                        for i, s in zip(idx, seeds)
+                    ]
+                elif self.worker_backend == "process":
+                    samples = list(
+                        pool.map(
+                            _process_pool_get,
+                            list(zip(idx, seeds)),
+                            chunksize=max(1, len(idx) // (4 * self.num_workers)),
+                        )
+                    )
                 else:
                     samples = list(
-                        pool.map(lambda t: self.dataset.get(*t), tasks)
+                        pool.map(
+                            lambda t: self.dataset.get(
+                                int(t[0]), np.random.default_rng(int(t[1]))
+                            ),
+                            zip(idx, seeds),
+                        )
                     )
                 yield self.collate(samples)
         finally:

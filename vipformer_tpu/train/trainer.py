@@ -143,12 +143,22 @@ def make_pretrain_step(cfg: Config, pc_model, img_model, tx, neg_groups: int):
     device_augs = cfg.device_augs
 
     def loss_fn(params, batch_stats, batch, key):
+        imgs_in = batch.get("imgs")
         if device_augs:
-            # raw clouds in, two augmented views made on-device
-            from vipformer_tpu.data.augment_device import pretrain_two_views
+            # raw clouds (and uint8 images) in; both augmented point views
+            # and the image jitter chain are made on-device
+            from vipformer_tpu.data.augment_device import (
+                image_pretrain_chain,
+                pretrain_two_views,
+            )
 
             k_aug, key = jax.random.split(key)
             t1_in, t2_in = pretrain_two_views(batch["pc_raw"], k_aug)
+            if imgs_in is not None and jnp.issubdtype(
+                imgs_in.dtype, jnp.integer
+            ):
+                k_img_aug, key = jax.random.split(key)
+                imgs_in = image_pretrain_chain(imgs_in, k_img_aug)
         else:
             t1_in, t2_in = batch["pc_t1"], batch["pc_t2"]
         b = t1_in.shape[0]
@@ -173,7 +183,7 @@ def make_pretrain_step(cfg: Config, pc_model, img_model, tx, neg_groups: int):
             )
             (img_proj, _), img_stats = _apply_train(
                 img_model, params["img"], batch_stats["img"],
-                batch["imgs"], _rngs(k_img),
+                imgs_in, _rngs(k_img),
             )
             new_stats["img"] = img_stats
             loss_cmid = nt_xent_grouped((t1 + t2) / 2.0, img_proj, groups)
