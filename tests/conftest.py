@@ -9,7 +9,11 @@ This file must set the env vars before anything imports jax.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# set VIPFORMER_TEST_TPU=1 to run the suite against the real chip instead
+# (enables the @skipif(tpu) hardware tests, e.g. flash-dropout parity)
+_ON_TPU = os.environ.get("VIPFORMER_TEST_TPU") == "1"
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,7 +26,8 @@ import jax  # noqa: E402
 # platform and overwrites jax_platforms at interpreter start; re-assert the
 # CPU platform after import (before any backend is initialized) so tests run
 # locally on the virtual 8-device mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/tmp/vipformer_jax_cache")

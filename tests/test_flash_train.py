@@ -1,0 +1,162 @@
+"""Training flash-attention kernel: parity with the XLA path.
+
+CPU CI runs the rate=0 fwd/bwd parity in interpret mode. The dropout path
+uses the TPU hardware PRNG (`pltpu.prng_*`), which has no interpret-mode
+lowering — those checks live in the tpu-gated test below and run via
+`python tools/tpu_train_smoke.py --flash` on the real chip.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vipformer_tpu.ops.pallas.flash_train import (
+    flash_attention_train,
+    flash_train_enabled,
+)
+
+B, G, M, H, D = 2, 16, 64, 4, 32
+SCALE = (D // H) ** -0.5
+
+
+def _ref(q, k, v):
+    qh = q.reshape(B, G, H, D // H).transpose(0, 2, 1, 3)
+    kh = k.reshape(B, M, H, D // H).transpose(0, 2, 1, 3)
+    vh = v.reshape(B, M, H, D // H).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhgc,bhmc->bhgm", qh, kh) * SCALE
+    p = jax.nn.softmax(logits, -1)
+    o = jnp.einsum("bhgm,bhmc->bhgc", p, vh)
+    return o.transpose(0, 2, 1, 3).reshape(B, G, D)
+
+
+@pytest.fixture
+def qkv(rng):
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    return f(B, G, D), f(B, M, D), f(B, M, D)
+
+
+SEED = jnp.array([7], jnp.int32)
+
+
+@pytest.mark.parametrize("mc", [64, 16])
+def test_forward_matches_xla_no_dropout(qkv, mc):
+    q, k, v = qkv
+    out = flash_attention_train(q, k, v, SEED, H, SCALE, 0.0, mc, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v)), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_gradients_match_xla_no_dropout(qkv):
+    q, k, v = qkv
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            jnp.sin(flash_attention_train(q, k, v, SEED, H, SCALE, 0.0, 16, True))
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(_ref(q, k, v)))
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_gate():
+    # packed invariants + TPU requirement
+    assert not flash_train_enabled(4, 256, 256, 128, 2048, None, True)
+    on_tpu = jax.default_backend() == "tpu"
+    assert (
+        flash_train_enabled(4, 256, 256, 128, 2048, None, False) == on_tpu
+    )
+    assert not flash_train_enabled(4, 256, 192, 128, 2048, None, False)
+    assert not flash_train_enabled(
+        4, 256, 256, 128, 2048, jnp.ones((2, 2048), bool), False
+    )
+
+
+def _dump_masks(rate, seedv, b, g, m, mc):
+    """Extract the exact keep masks the kernel draws, chunk by chunk."""
+    from functools import partial
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vipformer_tpu.ops.pallas.flash_train import _keep_mask
+
+    def dump_kernel(j, seed_ref, o_ref):
+        i = pl.program_id(0)
+        for head in range(H):
+            pltpu.prng_seed(seed_ref[0], (i * 16 + head) * 256 + j)
+            keep = _keep_mask(rate, (g, mc))
+            o_ref[0, head] = keep.astype(jnp.int32)
+
+    chunks = [
+        pl.pallas_call(
+            partial(dump_kernel, j),
+            grid=(b,),
+            out_shape=jax.ShapeDtypeStruct((b, H, g, mc), jnp.int32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(
+                (1, H, g, mc), lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )(jnp.array([seedv], jnp.int32))
+        for j in range(m // mc)
+    ]
+    return jnp.concatenate(chunks, axis=3).astype(bool)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="TPU hardware PRNG required"
+)
+def test_dropout_on_tpu(qkv):
+    """Mask-extracted exact parity: dump the kernel's own keep masks, build
+    the same dropout in plain jnp, and compare fwd AND custom-vjp grads.
+    (A finite-difference check is useless here: TPU default f32 matmul
+    precision puts ~0.3% noise on f, drowning the quotient.)"""
+    q, k, v = qkv
+    rate = 0.3
+    o1 = flash_attention_train(q, k, v, SEED, H, SCALE, rate, 16, False)
+    o2 = flash_attention_train(q, k, v, SEED, H, SCALE, rate, 16, False)
+    o3 = flash_attention_train(
+        q, k, v, jnp.array([8], jnp.int32), H, SCALE, rate, 16, False
+    )
+    assert bool(jnp.all(o1 == o2))  # mask is a pure function of the seed
+    assert bool(jnp.any(o1 != o3))
+
+    mask = _dump_masks(rate, 7, B, G, M, 16)
+    frac = float(mask.mean())
+    assert abs(frac - (1 - rate)) < 0.02, frac
+
+    def ref_dropped(q, k, v):
+        qh = q.reshape(B, G, H, D // H).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, M, H, D // H).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, M, H, D // H).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhgc,bhmc->bhgm", qh, kh) * SCALE
+        p = jax.nn.softmax(logits, -1)
+        p = jnp.where(mask, p / (1 - rate), 0.0)
+        o = jnp.einsum("bhgm,bhmc->bhgc", p, vh)
+        return o.transpose(0, 2, 1, 3).reshape(B, G, D)
+
+    np.testing.assert_allclose(
+        np.asarray(o1), np.asarray(ref_dropped(q, k, v)), atol=1e-2
+    )
+    g1 = jax.grad(
+        lambda q, k, v: jnp.sum(
+            jnp.sin(flash_attention_train(q, k, v, SEED, H, SCALE, rate, 16, False))
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(jnp.sin(ref_dropped(q, k, v))),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-2)

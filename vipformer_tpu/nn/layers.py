@@ -156,6 +156,30 @@ class MultiHeadAttention(nn.Module):
             fused_attention_packed,
             packed_attention_enabled,
         )
+        from vipformer_tpu.ops.pallas.flash_train import (
+            flash_attention_train,
+            flash_train_enabled,
+        )
+
+        if flash_train_enabled(
+            h, qk_ch, v_ch, x_q.shape[1], x_kv.shape[1], pad_mask,
+            deterministic,
+        ) and (self.dropout == 0.0 or self.has_rng("dropout")):
+            # training path: flash fwd+bwd with in-kernel dropout — the
+            # [B, H, G, M] scores, the dropout rng array, and the keep mask
+            # never exist in HBM (fwd keeps only the logsumexp residual,
+            # bwd regenerates the mask from the scalar seed)
+            if self.dropout > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            o = flash_attention_train(
+                q, k, v, seed, h, scale, float(self.dropout)
+            )
+            return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
 
         if packed_attention_enabled(
             h, qk_ch, v_ch, x_kv.shape[1], pad_mask, self.dropout,

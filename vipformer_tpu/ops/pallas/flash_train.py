@@ -1,0 +1,374 @@
+"""Pallas TPU flash attention for TRAINING: fwd + custom-VJP bwd with
+in-kernel attention dropout.
+
+Why this exists (measured on v5e, tools/profile_ops.py): under training the
+XLA attention path materializes per layer, in HBM, the f32 [B, H, G, M]
+score matrix (saved for backward), a same-shaped u32 random-bits array for
+the dropout draw, and the pred keep-mask (also saved for backward). At the
+pretrain shapes — cross-attention [B=384, H=4, G=128, M=2048] and image
+self-attention [192, 4, 144, 144] — those tensors dominate the step's HBM
+traffic (e.g. 1.2 ms of rng + 1.4 ms of mask apply per CA, plus the
+backward re-reads).
+
+This kernel keeps all of it in VMEM:
+* packed layout ([B, N, H*dh] exactly as the projections produce it, heads
+  split inside the kernel) — zero relayout copies, same trick as
+  `attention.fused_attention_packed`;
+* online-softmax streaming over M chunks; the forward stores only the
+  per-row logsumexp [B, H, G] (the standard flash residual);
+* dropout uses the TPU's counter-based PRNG seeded per (seed, batch, head,
+  chunk): the SAME mask is regenerated in the backward pass from the same
+  scalar seed, so no mask array is ever written to HBM;
+* backward recomputes P = exp(S - lse) per chunk and uses the
+  delta = rowsum(dO * O) identity, which holds verbatim under post-softmax
+  dropout (torch semantics: softmax -> dropout -> @V, reference
+  `core/modules.py:91-93`):
+      dV_j  = Pd^T dO
+      dS    = Pd o (dO V^T) - P o delta
+      dQ   += scale . dS K_j,   dK_j = scale . dS^T Q
+  where Pd = P o keep/(1-rate) and the softmax denominator uses the
+  UNdropped P (so lse is dropout-free).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_LANES = 128  # f32 lane tile
+
+
+def _kv_chunk_for(m: int, cap: int = 2048) -> int:
+    if m <= cap:
+        return m
+    best = 1
+    d = 1
+    while d * d <= m:
+        if m % d == 0:
+            if d <= cap:
+                best = max(best, d)
+            if m // d <= cap:
+                best = max(best, m // d)
+        d += 1
+    return best
+
+
+# scoped-VMEM budget for one grid cell of the BACKWARD kernel (the heavier
+# of the two; fwd and bwd must use the SAME chunking because the dropout
+# seed is a function of the chunk index). The per-column model below omits
+# the [G, D] q/do/dq blocks and Mosaic's own spill headroom, so the budget
+# is deliberately below the 16M scoped limit (mc=2048 at G=128/D=256
+# measured 17.3M and aborted; this budget picks 1024 there).
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _auto_chunk(g: int, d: int, m: int) -> int:
+    """Largest kv chunk whose bwd working set fits the scoped-VMEM budget.
+
+    Per kv row: k+v bf16 in (2d), dk+dv f32 out (8d); per column of the
+    [G, Mc] f32 temporaries (logits, p, pd, dpd, ds, random bits): 24g.
+    """
+    col_cost = 2 * d + 8 * d + 24 * g
+    cap = max(_LANES, min(2048, _VMEM_BUDGET // col_cost))
+    return _kv_chunk_for(m, cap)
+
+
+def _keep_mask(rate: float, shape):
+    """Bernoulli(1-rate) from the already-seeded TPU PRNG."""
+    bits = pltpu.prng_random_bits(shape)  # int32 bits
+    # uniform int32 >= (rate-quantile of the int32 range) keeps 1-rate mass
+    thresh = np.int32(int(rate * (1 << 32)) - (1 << 31))
+    return bits >= thresh
+
+
+def _fwd_kernel(scale, h, rate, seed_ref, q_ref, k_ref, v_ref,
+                o_ref, lse_ref, acc_ref, m_ref, l_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    dh = q.shape[1] // h
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        logits = jax.lax.dot_general(
+            q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [G, Mc]
+        m_prev = m_ref[head, :]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[:, None])
+        # softmax denominator over the UNdropped probabilities
+        l_ref[head, :] = l_ref[head, :] * corr + jnp.sum(p, axis=-1)
+        m_ref[head, :] = m_new
+        if rate > 0.0:
+            # Mosaic allows at most 2 seed scalars: pack
+            # (batch, head, chunk) into one (head<16, chunk<256)
+            pltpu.prng_seed(seed_ref[0], (i * 16 + head) * 256 + j)
+            keep = _keep_mask(rate, p.shape)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        pv = jnp.dot(
+            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        )
+        acc_ref[head] = acc_ref[head] * corr[:, None] + pv
+
+    @pl.when(j == nj - 1)
+    def _():
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            o_ref[0, :, sl] = (
+                acc_ref[head] / l_ref[head, :][:, None]
+            ).astype(o_ref.dtype)
+            lse_ref[0, head, :] = m_ref[head, :] + jnp.log(l_ref[head, :])
+
+
+def _bwd_kernel(scale, h, rate, seed_ref, q_ref, k_ref, v_ref, do_ref,
+                lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, dq_acc):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    dh = q.shape[1] // h
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        q_h = q[:, sl].astype(jnp.float32)
+        k_h = k[:, sl].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [G, Mc]
+        p = jnp.exp(logits - lse_ref[0, head, :][:, None])  # [G, Mc]
+        if rate > 0.0:
+            # Mosaic allows at most 2 seed scalars: pack
+            # (batch, head, chunk) into one (head<16, chunk<256)
+            pltpu.prng_seed(seed_ref[0], (i * 16 + head) * 256 + j)
+            keep = _keep_mask(rate, p.shape)
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        do_h = do[:, sl].astype(jnp.float32)  # [G, dh]
+        v_h = v[:, sl].astype(jnp.float32)  # [Mc, dh]
+        # dV_j = Pd^T dO
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pd, do_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        # dPd = dO V^T
+        dpd = jax.lax.dot_general(
+            do_h, v_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [G, Mc]
+        ds = (pd * dpd - p * delta_ref[0, head, :][:, None]) * scale
+        dq_acc[head] += jnp.dot(
+            ds.astype(k_h.dtype), k_h, preferred_element_type=jnp.float32
+        )
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            ds, q_h, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+    @pl.when(j == nj - 1)
+    def _():
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            dq_ref[0, :, sl] = dq_acc[head].astype(dq_ref.dtype)
+
+
+def _fwd_call(q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret):
+    b, g, d = q.shape
+    m = k.shape[1]
+    mc = kv_chunk or _auto_chunk(g, d, m)
+    h = num_heads
+    ms = pl.ANY if interpret else pltpu.VMEM
+    out, lse = pl.pallas_call(
+        partial(_fwd_kernel, float(scale), h, float(rate)),
+        grid=(b, m // mc),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, g, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h, g), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, h, g), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h, g, d // h), jnp.float32),
+            pltpu.VMEM((h, g), jnp.float32),
+            pltpu.VMEM((h, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q, k, v)
+    return out, lse
+
+
+def _bwd_call(q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
+              interpret):
+    b, g, d = q.shape
+    m = k.shape[1]
+    mc = kv_chunk or _auto_chunk(g, d, m)
+    h = num_heads
+    dh = d // h
+    ms = pl.ANY if interpret else pltpu.VMEM
+    # delta[b, head, g] = rowsum(dO o O) per head slice — holds with
+    # post-softmax dropout because O = Pd V
+    delta = jnp.sum(
+        (do.astype(jnp.float32) * o.astype(jnp.float32)).reshape(
+            b, g, h, dh
+        ),
+        axis=-1,
+    ).transpose(0, 2, 1)  # [B, h, G]
+    dq, dk, dv = pl.pallas_call(
+        partial(_bwd_kernel, float(scale), h, float(rate)),
+        grid=(b, m // mc),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, d), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, h, g), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, h, g), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+        ],
+        scratch_shapes=[pltpu.VMEM((h, g, dh), jnp.float32)],
+        interpret=interpret,
+    )(seed, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+@partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
+)
+def flash_attention_train(
+    q: Array,
+    k: Array,
+    v: Array,
+    seed: Array,
+    num_heads: int,
+    scale: float,
+    rate: float,
+    kv_chunk: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Differentiable packed flash attention with attention dropout.
+
+    q [B, G, H*dh], k/v [B, M, H*dh], seed int32 [1] -> [B, G, H*dh].
+    Gradients flow to q/k/v; the dropout mask is a pure function of
+    (seed, batch, head, chunk) and is identical in fwd and bwd.
+    """
+    out, _ = _fwd_call(
+        q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret
+    )
+    return out
+
+
+def _vjp_fwd(q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret):
+    out, lse = _fwd_call(
+        q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret
+    )
+    return out, (q, k, v, out, lse, seed)
+
+
+def _vjp_bwd(num_heads, scale, rate, kv_chunk, interpret, res, do):
+    q, k, v, o, lse, seed = res
+    dq, dk, dv = _bwd_call(
+        q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
+        interpret,
+    )
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dseed
+    )
+
+
+flash_attention_train.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def flash_train_enabled(
+    num_heads: int,
+    qk_ch: int,
+    v_ch: int,
+    g: int,
+    m: int,
+    pad_mask,
+    deterministic: bool,
+) -> bool:
+    """Gate for the training kernel at the MHA layer.
+
+    Training-mode counterpart of `packed_attention_enabled`: requires the
+    packed-layout invariants (qk == v width, divisible heads), no pad mask,
+    TPU backend, and shapes whose per-(batch) working set fits VMEM. Unlike
+    the eval gate there is no M >= 512 cutoff: at ANY M the win is not the
+    matmul but never materializing scores/masks/rng in HBM.
+    """
+    from vipformer_tpu.ops.pallas.attention import USE_FUSED_ATTENTION
+
+    if deterministic or pad_mask is not None:
+        return False
+    if qk_ch != v_ch or qk_ch % num_heads:
+        return False
+    if USE_FUSED_ATTENTION is not None:
+        return USE_FUSED_ATTENTION
+    if jax.default_backend() != "tpu":
+        return False
+    if g > 1024:
+        return False
+    # the auto-chunker fits the bwd working set into scoped VMEM as long as
+    # a single kv chunk of _LANES rows fits
+    mc = _auto_chunk(g, qk_ch, m)
+    return m % mc == 0 and (2 * qk_ch + 8 * qk_ch + 24 * g) * mc < _VMEM_BUDGET
