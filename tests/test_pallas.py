@@ -274,3 +274,59 @@ def test_patchify_fused_random_start(rng):
     for b in range(2):
         for gi in range(8):
             assert int(cidx[b, gi]) in set(np.asarray(nidx)[b, gi].tolist())
+
+
+def test_packed_small_attention_matches_xla(rng):
+    """Batch-blocked small-M eval kernel == head-split XLA attention,
+    including a batch size that is not a multiple of the block (bt
+    fallback) and a non-128 sequence length (image SA shape)."""
+    from vipformer_tpu.ops.attention import dot_product_attention
+    from vipformer_tpu.ops.pallas.attention import (
+        fused_attention_packed_small,
+        packed_small_attention_enabled,
+    )
+
+    for b, n, h, dh in ((4, 16, 4, 8), (6, 24, 2, 16)):
+        d = h * dh
+        q = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, n, d)).astype(np.float32))
+
+        def split(x):
+            return x.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+
+        o = dot_product_attention(
+            split(q), split(k), split(v), scale=dh**-0.5,
+            deterministic=True,
+        )
+        want = np.asarray(o.transpose(0, 2, 1, 3).reshape(b, n, d))
+        got = np.asarray(
+            fused_attention_packed_small(
+                q, k, v, num_heads=h, scale=dh**-0.5, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # gate: measured OFF by default (see the gate's comment); opt-in only
+    assert not packed_small_attention_enabled(
+        4, 256, 256, 128, 128, None, 0.1, True
+    )
+    from vipformer_tpu.ops.pallas import attention as pattn
+
+    pattn.USE_FUSED_ATTENTION = True
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+        assert (
+            packed_small_attention_enabled(
+                4, 256, 256, 128, 128, None, 0.1, True
+            )
+            == on_tpu
+        )
+        assert not packed_small_attention_enabled(
+            4, 256, 256, 128, 128, None, 0.1, False
+        )
+        assert not packed_small_attention_enabled(
+            4, 256, 256, 128, 2048, None, 0.0, True
+        )
+    finally:
+        pattn.USE_FUSED_ATTENTION = None

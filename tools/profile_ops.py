@@ -220,7 +220,8 @@ def parse_trace(trace_dir: str, top: int = 25):
     print("== modules (wall time per iter) ==")
     for nm, ps in modules.most_common(5):
         print(f"{ps/1e6/ITERS:10.1f} us/iter  {nm[:100]}")
-    print(f"== top sync ops ==")
+    total_sync = sum(sync.values()) / 1e6 / ITERS
+    print(f"== top sync ops (total {total_sync:.1f} us/iter) ==")
     for nm, ps in sync.most_common(top):
         print(
             f"{ps/1e6/ITERS:10.1f} us/iter x{counts[nm]:4d}  {_short(nm)}"
@@ -236,12 +237,14 @@ def parse_trace(trace_dir: str, top: int = 25):
 def main():
     name = sys.argv[1] if len(sys.argv) > 1 else "cls"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    global _TOP
+    _TOP = int(sys.argv[3]) if len(sys.argv) > 3 else 25
     run = make_workload(name, batch)
     trace_dir = tempfile.mkdtemp(prefix=f"vipformer_trace_{name}_")
     jax.profiler.start_trace(trace_dir)
     run()
     jax.profiler.stop_trace()
-    parse_trace(trace_dir)
+    parse_trace(trace_dir, top=_TOP)
     print(f"# trace: {trace_dir}")
     # keep only the latest couple of traces around
     old = sorted(glob.glob(tempfile.gettempdir() + "/vipformer_trace_*"))

@@ -192,6 +192,23 @@ class MultiHeadAttention(nn.Module):
             o = fused_attention_packed(q, k, v, num_heads=h, scale=scale)
             return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
 
+        from vipformer_tpu.ops.pallas.attention import (
+            fused_attention_packed_small,
+            packed_small_attention_enabled,
+        )
+
+        if packed_small_attention_enabled(
+            h, qk_ch, v_ch, x_q.shape[1], x_kv.shape[1], pad_mask,
+            self.dropout, deterministic,
+        ):
+            # small-M eval self-attention: batch-blocked so the launch isn't
+            # per-row, scores stay in VMEM (the XLA path's [B, H, G, M] f32
+            # scores are what made eval throughput non-monotone in batch)
+            o = fused_attention_packed_small(
+                q, k, v, num_heads=h, scale=scale
+            )
+            return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
+
         def split(x):  # [B, N, H*C] -> [B, H, N, C]
             b, n, _ = x.shape
             return x.reshape(b, n, h, -1).transpose(0, 2, 1, 3)

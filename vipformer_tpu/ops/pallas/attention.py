@@ -281,3 +281,103 @@ def packed_attention_enabled(
     if jax.default_backend() != "tpu":
         return False
     return m >= 512 and _kv_chunk_for(m) >= 256
+
+
+# ---------------------------------------------------------------------------
+# batch-blocked packed attention for SMALL M (self-attention sites)
+#
+# At M = G = 128-144 the per-(batch) grid of the kernels above is
+# launch-bound (each cell is a handful of [G, dh] matmuls), which is why
+# "packed everywhere" measured slower in r1. But the XLA path's materialized
+# [B, H, G, M] f32 scores become HBM-BW-bound as B grows: at B=256 the
+# per-layer softmax-stats fusion (104 us) + PV fusion (90 us) both stream a
+# 67 MB score tensor at ~650 GB/s — this family is exactly what made eval
+# throughput non-monotone in batch (per-cloud cost 2.9-7.5x higher at B=256
+# than B=32, tools/profile_ops.py). This kernel amortizes launches by
+# processing BT batch rows per grid cell and keeps the scores in VMEM.
+
+_SMALL_BT = 8
+
+
+def _packed_small_kernel(scale, h, q_ref, k_ref, v_ref, o_ref):
+    bt = q_ref.shape[0]
+    d = q_ref.shape[2]
+    dh = d // h
+    for b in range(bt):
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            q = q_ref[b, :, sl].astype(jnp.float32)  # [G, dh]
+            k = k_ref[b, :, sl].astype(jnp.float32)  # [M, dh]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            p = jnp.exp(logits - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[b, :, sl] = jnp.dot(
+                p.astype(v_ref.dtype), v_ref[b, :, sl],
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def fused_attention_packed_small(
+    q: Array, k: Array, v: Array, *, num_heads: int, scale: float,
+    interpret: bool = False,
+) -> Array:
+    """q [B, G, H*dh], k/v [B, M, H*dh] -> [B, G, H*dh], M in VMEM whole."""
+    b, g, d = q.shape
+    m = k.shape[1]
+    bt = _SMALL_BT
+    while b % bt:
+        bt //= 2
+    ms = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        partial(_packed_small_kernel, float(scale), num_heads),
+        out_shape=jax.ShapeDtypeStruct((b, g, d), v.dtype),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, g, d), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((bt, m, d), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((bt, m, d), lambda i: (i, 0, 0), memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, g, d), lambda i: (i, 0, 0), memory_space=ms
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def packed_small_attention_enabled(
+    num_heads: int, qk_ch: int, v_ch: int, g: int, m: int, pad_mask,
+    dropout_rate: float, deterministic: bool,
+) -> bool:
+    """Eval-mode gate for the batch-blocked small-M kernel."""
+    if pad_mask is not None or (dropout_rate > 0.0 and not deterministic):
+        return False
+    if not deterministic:
+        return False  # training goes through flash_train
+    if qk_ch != v_ch or qk_ch % num_heads:
+        return False
+    if USE_FUSED_ATTENTION is not True:
+        # MEASURED OFF by default (v5e, flagship eval sweep): at M=G=128
+        # the kernel decomposes into per-(row, head) [128, 64] MXU ops
+        # whose fixed per-op cost swamps the HBM saving — B=32 dropped
+        # 18.1k -> 15.4k and B=128 18.7k -> 16.0k clouds/s. The XLA path's
+        # one batched [B*H, G, M] matmul amortizes far better even though
+        # its materialized f32 scores go HBM-BW-bound at large B (the
+        # source of the batch-nonmonotone throughput; see ROADMAP). A win
+        # here needs heads/rows batched into single MXU ops, which Mosaic
+        # cannot express today (no batched dot, no lane reshape).
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if m >= 512 or g > 512:
+        return False  # large M belongs to fused_attention_packed
+    # whole-M working set per grid cell must fit VMEM
+    itemsize = 2
+    need = 4 * _SMALL_BT * g * max(qk_ch, 128) * itemsize + 3 * g * max(
+        m, 128
+    ) * 4
+    return need < _VMEM_BUDGET
