@@ -82,29 +82,33 @@ def test_gate():
 
 
 def _dump_masks(rate, seedv, b, g, m, mc):
-    """Extract the exact keep masks the kernel draws, chunk by chunk."""
+    """Extract the exact keep masks the kernel draws: one seeding per
+    (cell, chunk), per-head (BT, G, Mc) draws in head order — mirroring
+    _fwd_kernel/_bwd_kernel exactly."""
     from functools import partial
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from vipformer_tpu.ops.pallas.flash_train import _keep_mask
+    from vipformer_tpu.ops.pallas.flash_train import _auto_bt, _keep_mask
+
+    bt = _auto_bt(b, g, D, mc)
 
     def dump_kernel(j, seed_ref, o_ref):
         i = pl.program_id(0)
+        pltpu.prng_seed(seed_ref[0], i * 4096 + j)
         for head in range(H):
-            pltpu.prng_seed(seed_ref[0], (i * 16 + head) * 256 + j)
-            keep = _keep_mask(rate, (g, mc))
-            o_ref[0, head] = keep.astype(jnp.int32)
+            keep = _keep_mask(rate, (bt, g, mc))
+            o_ref[:, head] = keep.astype(jnp.int32)
 
     chunks = [
         pl.pallas_call(
             partial(dump_kernel, j),
-            grid=(b,),
+            grid=(b // bt,),
             out_shape=jax.ShapeDtypeStruct((b, H, g, mc), jnp.int32),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
             out_specs=pl.BlockSpec(
-                (1, H, g, mc), lambda i: (i, 0, 0, 0),
+                (bt, H, g, mc), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         )(jnp.array([seedv], jnp.int32))

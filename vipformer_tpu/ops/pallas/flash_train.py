@@ -14,11 +14,17 @@ This kernel keeps all of it in VMEM:
 * packed layout ([B, N, H*dh] exactly as the projections produce it, heads
   split inside the kernel) — zero relayout copies, same trick as
   `attention.fused_attention_packed`;
+* BT batch rows per grid cell with Mosaic *batched* dot_generals — the
+  first version ran one grid cell per batch row with per-(row, head)
+  PRNG re-seeding, and the seeding overhead alone dominated (783 us per
+  image-SA layer for ~2 GFLOP of matmul); now each cell seeds ONCE and
+  draws per-head blocks in a fixed order;
 * online-softmax streaming over M chunks; the forward stores only the
   per-row logsumexp [B, H, G] (the standard flash residual);
-* dropout uses the TPU's counter-based PRNG seeded per (seed, batch, head,
-  chunk): the SAME mask is regenerated in the backward pass from the same
-  scalar seed, so no mask array is ever written to HBM;
+* dropout uses the TPU's counter-based PRNG seeded per (seed, cell,
+  chunk): the SAME masks are regenerated in the backward pass from the
+  same scalar seed and draw order, so no mask array is ever written to
+  HBM;
 * backward recomputes P = exp(S - lse) per chunk and uses the
   delta = rowsum(dO * O) identity, which holds verbatim under post-softmax
   dropout (torch semantics: softmax -> dropout -> @V, reference
@@ -62,16 +68,15 @@ def _kv_chunk_for(m: int, cap: int = 2048) -> int:
 
 
 # scoped-VMEM budget for one grid cell of the BACKWARD kernel (the heavier
-# of the two; fwd and bwd must use the SAME chunking because the dropout
-# seed is a function of the chunk index). The per-column model below omits
-# the [G, D] q/do/dq blocks and Mosaic's own spill headroom, so the budget
-# is deliberately below the 16M scoped limit (mc=2048 at G=128/D=256
-# measured 17.3M and aborted; this budget picks 1024 there).
+# of the two; fwd and bwd must use the SAME blocking because the dropout
+# draws are a function of the cell/chunk indices). The per-column model
+# below omits Mosaic's own spill headroom, so the budget sits well under
+# the 16M scoped limit (a 17.3M cell aborted compilation in testing).
 _VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _auto_chunk(g: int, d: int, m: int) -> int:
-    """Largest kv chunk whose bwd working set fits the scoped-VMEM budget.
+    """Largest kv chunk whose bwd working set fits the budget at BT=1.
 
     Per kv row: k+v bf16 in (2d), dk+dv f32 out (8d); per column of the
     [G, Mc] f32 temporaries (logits, p, pd, dpd, ds, random bits): 24g.
@@ -81,12 +86,36 @@ def _auto_chunk(g: int, d: int, m: int) -> int:
     return _kv_chunk_for(m, cap)
 
 
+def _cell_cost(g: int, d: int, mc: int) -> int:
+    """Approximate bwd VMEM bytes for ONE batch row of a cell."""
+    return g * d * 8 + mc * d * 12 + g * mc * 24
+
+
+def _auto_bt(b: int, g: int, d: int, mc: int, cap: int = 8) -> int:
+    """Largest divisor of b (<= cap) whose cell fits the VMEM budget."""
+    per_row = _cell_cost(g, d, mc)
+    bt = 1
+    for cand in range(2, cap + 1):
+        if b % cand == 0 and cand * per_row <= _VMEM_BUDGET:
+            bt = cand
+    return bt
+
+
 def _keep_mask(rate: float, shape):
     """Bernoulli(1-rate) from the already-seeded TPU PRNG."""
     bits = pltpu.prng_random_bits(shape)  # int32 bits
     # uniform int32 >= (rate-quantile of the int32 range) keeps 1-rate mass
     thresh = np.int32(int(rate * (1 << 32)) - (1 << 31))
     return bits >= thresh
+
+
+def _bdot(a, b_arr, contract_a, contract_b):
+    """Batched (leading-dim) dot_general in f32."""
+    return jax.lax.dot_general(
+        a, b_arr,
+        (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _fwd_kernel(scale, h, rate, seed_ref, q_ref, k_ref, v_ref,
@@ -101,43 +130,42 @@ def _fwd_kernel(scale, h, rate, seed_ref, q_ref, k_ref, v_ref,
         m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    dh = q.shape[1] // h
+    q = q_ref[...]  # [BT, G, D]
+    k = k_ref[...]  # [BT, Mc, D]
+    v = v_ref[...]
+    dh = q.shape[2] // h
+    if rate > 0.0:
+        # one seeding per (cell, chunk); per-head draws follow in a fixed
+        # order so the backward regenerates identical masks. Mosaic allows
+        # at most 2 seed scalars, so cell/chunk pack into one int32.
+        pltpu.prng_seed(seed_ref[0], i * 4096 + j)
     for head in range(h):
         sl = slice(head * dh, (head + 1) * dh)
-        logits = jax.lax.dot_general(
-            q[:, sl].astype(jnp.float32), k[:, sl].astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [G, Mc]
-        m_prev = m_ref[head, :]
+        logits = _bdot(
+            q[:, :, sl].astype(jnp.float32),
+            k[:, :, sl].astype(jnp.float32), 2, 2,
+        ) * scale  # [BT, G, Mc]
+        m_prev = m_ref[head]  # [BT, G]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
         corr = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new[:, None])
+        p = jnp.exp(logits - m_new[:, :, None])
         # softmax denominator over the UNdropped probabilities
-        l_ref[head, :] = l_ref[head, :] * corr + jnp.sum(p, axis=-1)
-        m_ref[head, :] = m_new
+        l_ref[head] = l_ref[head] * corr + jnp.sum(p, axis=-1)
+        m_ref[head] = m_new
         if rate > 0.0:
-            # Mosaic allows at most 2 seed scalars: pack
-            # (batch, head, chunk) into one (head<16, chunk<256)
-            pltpu.prng_seed(seed_ref[0], (i * 16 + head) * 256 + j)
             keep = _keep_mask(rate, p.shape)
             p = jnp.where(keep, p / (1.0 - rate), 0.0)
-        pv = jnp.dot(
-            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
-        )
-        acc_ref[head] = acc_ref[head] * corr[:, None] + pv
+        pv = _bdot(p.astype(v.dtype), v[:, :, sl], 2, 1)  # [BT, G, dh]
+        acc_ref[head] = acc_ref[head] * corr[:, :, None] + pv
 
     @pl.when(j == nj - 1)
     def _():
         for head in range(h):
             sl = slice(head * dh, (head + 1) * dh)
-            o_ref[0, :, sl] = (
-                acc_ref[head] / l_ref[head, :][:, None]
+            o_ref[:, :, sl] = (
+                acc_ref[head] / l_ref[head][:, :, None]
             ).astype(o_ref.dtype)
-            lse_ref[0, head, :] = m_ref[head, :] + jnp.log(l_ref[head, :])
+            lse_ref[:, head, :] = m_ref[head] + jnp.log(l_ref[head])
 
 
 def _bwd_kernel(scale, h, rate, seed_ref, q_ref, k_ref, v_ref, do_ref,
@@ -150,88 +178,81 @@ def _bwd_kernel(scale, h, rate, seed_ref, q_ref, k_ref, v_ref, do_ref,
     def _():
         dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    dh = q.shape[1] // h
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    dh = q.shape[2] // h
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], i * 4096 + j)  # same stream as fwd
     for head in range(h):
         sl = slice(head * dh, (head + 1) * dh)
-        q_h = q[:, sl].astype(jnp.float32)
-        k_h = k[:, sl].astype(jnp.float32)
-        logits = jax.lax.dot_general(
-            q_h, k_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [G, Mc]
-        p = jnp.exp(logits - lse_ref[0, head, :][:, None])  # [G, Mc]
+        q_h = q[:, :, sl].astype(jnp.float32)
+        k_h = k[:, :, sl].astype(jnp.float32)
+        logits = _bdot(q_h, k_h, 2, 2) * scale  # [BT, G, Mc]
+        p = jnp.exp(logits - lse_ref[:, head, :][:, :, None])
         if rate > 0.0:
-            # Mosaic allows at most 2 seed scalars: pack
-            # (batch, head, chunk) into one (head<16, chunk<256)
-            pltpu.prng_seed(seed_ref[0], (i * 16 + head) * 256 + j)
             keep = _keep_mask(rate, p.shape)
             pd = jnp.where(keep, p / (1.0 - rate), 0.0)
         else:
             pd = p
-        do_h = do[:, sl].astype(jnp.float32)  # [G, dh]
-        v_h = v[:, sl].astype(jnp.float32)  # [Mc, dh]
+        do_h = do[:, :, sl].astype(jnp.float32)  # [BT, G, dh]
+        v_h = v[:, :, sl].astype(jnp.float32)  # [BT, Mc, dh]
         # dV_j = Pd^T dO
-        dv_ref[0, :, sl] = jax.lax.dot_general(
-            pd, do_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
+        dv_ref[:, :, sl] = _bdot(pd, do_h, 1, 1).astype(dv_ref.dtype)
         # dPd = dO V^T
-        dpd = jax.lax.dot_general(
-            do_h, v_h, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [G, Mc]
-        ds = (pd * dpd - p * delta_ref[0, head, :][:, None]) * scale
-        dq_acc[head] += jnp.dot(
-            ds.astype(k_h.dtype), k_h, preferred_element_type=jnp.float32
-        )
-        dk_ref[0, :, sl] = jax.lax.dot_general(
-            ds, q_h, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dk_ref.dtype)
+        dpd = _bdot(do_h, v_h, 2, 2)  # [BT, G, Mc]
+        ds = (
+            pd * dpd - p * delta_ref[:, head, :][:, :, None]
+        ) * scale
+        dq_acc[head] += _bdot(ds, k_h, 2, 1)  # [BT, G, dh]
+        dk_ref[:, :, sl] = _bdot(ds, q_h, 1, 1).astype(dk_ref.dtype)
 
     @pl.when(j == nj - 1)
     def _():
         for head in range(h):
             sl = slice(head * dh, (head + 1) * dh)
-            dq_ref[0, :, sl] = dq_acc[head].astype(dq_ref.dtype)
+            dq_ref[:, :, sl] = dq_acc[head].astype(dq_ref.dtype)
+
+
+def _blocking(b, g, d, m, kv_chunk):
+    mc = kv_chunk or _auto_chunk(g, d, m)
+    bt = _auto_bt(b, g, d, mc)
+    return mc, bt
 
 
 def _fwd_call(q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret):
     b, g, d = q.shape
     m = k.shape[1]
-    mc = kv_chunk or _auto_chunk(g, d, m)
+    mc, bt = _blocking(b, g, d, m, kv_chunk)
     h = num_heads
     ms = pl.ANY if interpret else pltpu.VMEM
     out, lse = pl.pallas_call(
         partial(_fwd_kernel, float(scale), h, float(rate)),
-        grid=(b, m // mc),
+        grid=(b // bt, m // mc),
         out_shape=[
             jax.ShapeDtypeStruct((b, g, d), v.dtype),
             jax.ShapeDtypeStruct((b, h, g), jnp.float32),
         ],
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
-            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bt, mc, d), lambda i, j: (i, j, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bt, mc, d), lambda i, j: (i, j, 0),
                          memory_space=ms),
         ],
         out_specs=[
-            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, h, g), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bt, h, g), lambda i, j: (i, 0, 0),
                          memory_space=ms),
         ],
         scratch_shapes=[
-            pltpu.VMEM((h, g, d // h), jnp.float32),
-            pltpu.VMEM((h, g), jnp.float32),
-            pltpu.VMEM((h, g), jnp.float32),
+            pltpu.VMEM((h, bt, g, d // h), jnp.float32),
+            pltpu.VMEM((h, bt, g), jnp.float32),
+            pltpu.VMEM((h, bt, g), jnp.float32),
         ],
         interpret=interpret,
     )(seed, q, k, v)
@@ -242,7 +263,7 @@ def _bwd_call(q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
               interpret):
     b, g, d = q.shape
     m = k.shape[1]
-    mc = kv_chunk or _auto_chunk(g, d, m)
+    mc, bt = _blocking(b, g, d, m, kv_chunk)
     h = num_heads
     dh = d // h
     ms = pl.ANY if interpret else pltpu.VMEM
@@ -256,7 +277,7 @@ def _bwd_call(q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
     ).transpose(0, 2, 1)  # [B, h, G]
     dq, dk, dv = pl.pallas_call(
         partial(_bwd_kernel, float(scale), h, float(rate)),
-        grid=(b, m // mc),
+        grid=(b // bt, m // mc),
         out_shape=[
             jax.ShapeDtypeStruct((b, g, d), jnp.float32),
             jax.ShapeDtypeStruct((b, m, d), jnp.float32),
@@ -264,28 +285,28 @@ def _bwd_call(q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
         ],
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
-            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bt, mc, d), lambda i, j: (i, j, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bt, mc, d), lambda i, j: (i, j, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, h, g), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bt, h, g), lambda i, j: (i, 0, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, h, g), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bt, h, g), lambda i, j: (i, 0, 0),
                          memory_space=ms),
         ],
         out_specs=[
-            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bt, mc, d), lambda i, j: (i, j, 0),
                          memory_space=ms),
-            pl.BlockSpec((1, mc, d), lambda i, j: (i, j, 0),
+            pl.BlockSpec((bt, mc, d), lambda i, j: (i, j, 0),
                          memory_space=ms),
         ],
-        scratch_shapes=[pltpu.VMEM((h, g, dh), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((h, bt, g, dh), jnp.float32)],
         interpret=interpret,
     )(seed, q, k, v, do, lse, delta)
     return dq, dk, dv
@@ -309,7 +330,7 @@ def flash_attention_train(
 
     q [B, G, H*dh], k/v [B, M, H*dh], seed int32 [1] -> [B, G, H*dh].
     Gradients flow to q/k/v; the dropout mask is a pure function of
-    (seed, batch, head, chunk) and is identical in fwd and bwd.
+    (seed, cell, chunk, head order) and is identical in fwd and bwd.
     """
     out, _ = _fwd_call(
         q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret
@@ -352,7 +373,7 @@ def flash_train_enabled(
 
     Training-mode counterpart of `packed_attention_enabled`: requires the
     packed-layout invariants (qk == v width, divisible heads), no pad mask,
-    TPU backend, and shapes whose per-(batch) working set fits VMEM. Unlike
+    TPU backend, and shapes whose per-cell working set fits VMEM. Unlike
     the eval gate there is no M >= 512 cutoff: at ANY M the win is not the
     matmul but never materializing scores/masks/rng in HBM.
     """
@@ -371,4 +392,4 @@ def flash_train_enabled(
     # the auto-chunker fits the bwd working set into scoped VMEM as long as
     # a single kv chunk of _LANES rows fits
     mc = _auto_chunk(g, qk_ch, m)
-    return m % mc == 0 and (2 * qk_ch + 8 * qk_ch + 24 * g) * mc < _VMEM_BUDGET
+    return m % mc == 0 and _cell_cost(g, qk_ch, mc) < _VMEM_BUDGET
