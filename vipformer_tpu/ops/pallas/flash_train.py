@@ -110,7 +110,19 @@ def _keep_mask(rate: float, shape):
 
 
 def _bdot(a, b_arr, contract_a, contract_b):
-    """Batched (leading-dim) dot_general in f32."""
+    """Batched (leading-dim) dot_general in f32.
+
+    BT==1 blocks lower as plain 2-D dots — Mosaic schedules a batch-1
+    3-D dot measurably worse than the equivalent 2-D one (CA fwd
+    2.85 -> 3.83 ms when this path first shipped without the squeeze).
+    """
+    if a.shape[0] == 1:
+        out = jax.lax.dot_general(
+            a[0], b_arr[0],
+            (((contract_a - 1,), (contract_b - 1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out[None]
     return jax.lax.dot_general(
         a, b_arr,
         (((contract_a,), (contract_b,)), ((0,), (0,))),
