@@ -309,6 +309,8 @@ def main():
         detail["effective_tflops"] = round(eff_tflops, 1)
         peak = _chip_peak_tflops()
         if peak:
+            # conservative: XLA's cost model excludes the Pallas custom
+            # calls (FPS/kNN/stem), so real utilization is higher
             detail["mfu"] = round(eff_tflops / peak, 4)
             detail["chip_peak_tflops_bf16"] = peak
     except Exception as e:

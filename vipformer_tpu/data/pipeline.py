@@ -130,7 +130,9 @@ class Loader:
                 yield self.collate(samples)
         finally:
             if pool is not None:
-                pool.shutdown(wait=False)
+                # process workers must be joined (wait=False would leak a
+                # process group per epoch); idle threads can be abandoned
+                pool.shutdown(wait=self.worker_backend == "process")
 
 
 def collate_pretrain(samples):
