@@ -71,7 +71,9 @@ def _kv_chunk_for(m: int, cap: int = 2048) -> int:
 # of the two; fwd and bwd must use the SAME blocking because the dropout
 # draws are a function of the cell/chunk indices). The per-column model
 # below omits Mosaic's own spill headroom, so the budget sits well under
-# the 16M scoped limit (a 17.3M cell aborted compilation in testing).
+# the 16M scoped limit (a 17.3M cell aborted compilation in testing, and
+# raising this to 10M -- BT=8 at the image-SA shape -- aborted too; 8M is
+# the calibrated ceiling on v5e).
 _VMEM_BUDGET = 8 * 1024 * 1024
 
 
