@@ -243,9 +243,10 @@ def bench_train_step(batch_size: int = 192, reps: int = 4):
 
 def main():
     quick = "--quick" in sys.argv
-    # measured sweep on v5e: per-cloud latency is best at small batches
-    # (0.083 ms @ 64 vs 0.103 ms @ 512 - the kNN k-selection grows
-    # super-linearly); 512 dropped from the default sweep
+    # measured sweep on v5e (r2): best per-cloud latency at batch 128
+    # (0.053 ms); larger batches degrade because the small-M SA's
+    # materialized f32 scores go HBM-BW-bound (root cause in ROADMAP item
+    # 0), so 512 stays out of the default sweep
     if "--train" in sys.argv:
         out = bench_train_step()
         print(

@@ -215,3 +215,25 @@ def test_ca_weight_sharing_generic_encoder():
     names = set(variables["params"]["encoder"].keys())
     assert "cross_attn_n" in names and "cross_attn_1" not in names
     assert "self_attn_n" in names and "self_attn_1" not in names
+
+
+def test_perceiver_classifier_pooled_decoder(rng, key):
+    """decoder='pooled' selects the reference's dormant PerceiverDecoder_var
+    (core/modules.py:608-639): max||mean pooled latents through the BN/ReLU
+    2D->D->D/2->classes chain."""
+    from vipformer_tpu.models.perceiver_models import PerceiverClassifier
+
+    model = PerceiverClassifier(
+        adapter="pointcloud", num_latents=8, num_latent_channels=32,
+        num_classes=10, num_cross_attention_heads=2,
+        num_self_attention_heads=2, num_self_attention_layers_per_block=2,
+        num_self_attention_blocks=1, atten_drop=0.0, mlp_drop=0.0,
+        decoder="pooled",
+    )
+    pts = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    variables = model.init({"params": key}, pts)
+    assert "decoder_var" in variables["params"]
+    assert "decoder" not in variables["params"]  # no query decoder built
+    logits, feats = model.apply(variables, pts, True)
+    assert logits.shape == (2, 10)
+    assert feats.shape == (2, 64)  # 2 * num_latent_channels

@@ -119,6 +119,11 @@ class PerceiverClassifier(nn.Module):
     num_latents: int
     num_latent_channels: int
     num_classes: int
+    # "query" = output-query PerceiverDecoder (the shipped path);
+    # "pooled" = the reference's dormant `PerceiverDecoder_var`
+    # (core/modules.py:608-639): max||mean pooled latents through the
+    # BN/ReLU 2D->D->D/2->classes chain (same math as FinetuneHead)
+    decoder: str = "query"
     num_output_queries: int = 1
     num_cross_attention_heads: int = 4
     num_cross_attention_qk_channels: Optional[int] = None
@@ -170,6 +175,17 @@ class PerceiverClassifier(nn.Module):
             dtype=self.dtype,
             name="encoder",
         )(tokens, None, deterministic)
+        if self.decoder == "pooled":
+            from vipformer_tpu.models.crossformer import FinetuneHead
+
+            feats = pool_latents(x_latent)
+            logits = FinetuneHead(
+                self.num_latent_channels,
+                self.num_classes,
+                dtype=self.dtype,
+                name="decoder_var",
+            )(feats, deterministic)
+            return logits, feats
         adapter = ClassificationOutputAdapter(
             num_classes=self.num_classes,
             num_output_queries=self.num_output_queries,
