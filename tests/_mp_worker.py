@@ -84,4 +84,58 @@ key = jax.random.key(0)
 for i in range(3):
     state, metrics = step(state, batch, 1e-3, key)
     print(f"step {i} loss {float(metrics['loss']):.6f}", flush=True)
+
+# --- multi-controller save -> resume -> eval (VERDICT r2 item 5) ----------
+# save_checkpoint gathers collectively on every process and writes on the
+# chief only; the checkpoint must round-trip into a resumed step and a
+# feature-extraction eval whose batch-sharded outputs span both processes.
+from jax.experimental import multihost_utils
+
+from vipformer_tpu.cli.common import collate_points_labels, extract_features
+from vipformer_tpu.train import load_checkpoint, save_checkpoint
+
+ckpt_dir = os.environ["VIPFORMER_MP_CKPT_DIR"]
+ckpt = os.path.join(ckpt_dir, "mp_state.ckpt")
+save_checkpoint(ckpt, state, metadata={"step": 3})
+multihost_utils.sync_global_devices("ckpt written")
+print(f"saved exists={os.path.exists(ckpt)}", flush=True)
+
+restored = load_checkpoint(ckpt, template=jax.device_get(state))
+restored = place_state(restored, mesh)
+_, m_resumed = step(restored, batch, 1e-3, key)
+state, m_cont = step(state, batch, 1e-3, key)
+resumed, cont = float(m_resumed["loss"]), float(m_cont["loss"])
+# the resumed step must bit-continue the in-memory trajectory
+assert resumed == cont, (resumed, cont)
+print(f"resume loss {resumed:.6f} cont {cont:.6f}", flush=True)
+
+
+# probe-style eval: backbone features over sharded batches, allgathered
+class _DS:
+    def __len__(self):
+        return 16
+
+    def get(self, i, rng):
+        return pts[i], int(labels[i])
+
+
+def feats_fn(params, stats, pts_dev):
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    _, backbone = model.apply(variables, pts_dev, deterministic=True)
+    return backbone
+
+
+feats, out_labels = extract_features(
+    feats_fn,
+    state.params,
+    state.batch_stats,
+    _DS(),
+    batch_size=8,
+    mesh=mesh,
+    collate=collate_points_labels,
+)
+assert feats.shape[0] == 16 and out_labels.shape == (16,), feats.shape
+print(f"feats_sum {float(np.abs(feats).sum()):.4f}", flush=True)
 print("worker done", flush=True)

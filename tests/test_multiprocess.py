@@ -30,13 +30,14 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_training():
+def test_two_process_dp_training(tmp_path):
     port = _free_port()
     env = {
         k: v
         for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_COORDINATOR_ADDRESS")
     }
+    env["VIPFORMER_MP_CKPT_DIR"] = str(tmp_path)
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(port), str(pid)],
@@ -69,4 +70,14 @@ def test_two_process_dp_training():
     # identical trajectories on both controllers => the global-mesh
     # reduction spanned the process boundary
     assert l0 == l1, (l0, l1)
+    # chief-gated checkpoint was written, visible to both, and resumed a
+    # bit-identical step (the worker asserts resume == cont internally)
+    for out in outs:
+        assert "saved exists=True" in out, out
+        assert "resume loss" in out, out
+    # both controllers computed the SAME global feature matrix from
+    # batch-sharded eval outputs (the allgather in extract_features)
+    f0 = [ln for ln in outs[0].splitlines() if ln.startswith("feats_sum")]
+    f1 = [ln for ln in outs[1].splitlines() if ln.startswith("feats_sum")]
+    assert f0 and f0 == f1, (f0, f1)
     assert "worker done" in outs[0] and "worker done" in outs[1]

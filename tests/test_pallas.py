@@ -307,26 +307,26 @@ def test_packed_small_attention_matches_xla(rng):
         )
         np.testing.assert_allclose(got, want, atol=2e-5)
 
-    # gate: measured OFF by default (see the gate's comment); opt-in only
-    assert not packed_small_attention_enabled(
-        4, 256, 256, 128, 128, None, 0.1, True
+    # gate: ON by default on TPU since the r3 batched-dot rewrite (the old
+    # per-(row, head) version measured slower and was opt-in only)
+    on_tpu = jax.default_backend() == "tpu"
+    assert (
+        packed_small_attention_enabled(4, 256, 256, 128, 128, None, 0.1, True)
+        == on_tpu
     )
     from vipformer_tpu.ops.pallas import attention as pattn
 
-    pattn.USE_FUSED_ATTENTION = True
+    pattn.USE_FUSED_ATTENTION = False
     try:
-        on_tpu = jax.default_backend() == "tpu"
-        assert (
-            packed_small_attention_enabled(
-                4, 256, 256, 128, 128, None, 0.1, True
-            )
-            == on_tpu
-        )
         assert not packed_small_attention_enabled(
-            4, 256, 256, 128, 128, None, 0.1, False
-        )
-        assert not packed_small_attention_enabled(
-            4, 256, 256, 128, 2048, None, 0.0, True
+            4, 256, 256, 128, 128, None, 0.1, True
         )
     finally:
         pattn.USE_FUSED_ATTENTION = None
+    # training-mode dropout and large M stay out regardless of backend
+    assert not packed_small_attention_enabled(
+        4, 256, 256, 128, 128, None, 0.1, False
+    )
+    assert not packed_small_attention_enabled(
+        4, 256, 256, 128, 2048, None, 0.0, True
+    )

@@ -83,6 +83,37 @@ def test_plateau_schedule():
     assert abs(lrs[3] - 0.1) < 1e-9
 
 
+def test_plateau_matches_torch():
+    """PlateauState == torch ReduceLROnPlateau trajectory, including the
+    rel-threshold 1e-4 improvement rule, cooldown suspension, and the
+    min_lr floor (reference `pretrain.py:146-152` passes factor/patience
+    and leaves the rest at torch defaults)."""
+    import torch
+
+    from vipformer_tpu.train.schedules import PlateauState
+
+    metrics = [
+        1.0, 0.9, 0.89995, 0.8999, 0.8990, 0.95, 0.94, 0.93, 0.92,
+        0.91, 0.905, 0.904, 0.9035, 0.903, 0.9025, 0.902, 0.9015,
+    ] + [0.9] * 10
+
+    for cooldown, min_lr in ((0, 0.0), (2, 0.0), (0, 0.05), (3, 0.02)):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=0.5)
+        sch = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", factor=0.3, patience=2, cooldown=cooldown,
+            min_lr=min_lr,
+        )
+        ours = PlateauState(
+            lr=0.5, factor=0.3, patience=2, cooldown=cooldown, min_lr=min_lr
+        )
+        for i, m in enumerate(metrics):
+            sch.step(m)
+            want = opt.param_groups[0]["lr"]
+            got = ours.update(m)
+            assert abs(got - want) < 1e-12, (cooldown, min_lr, i, got, want)
+
+
 # --- optimizers vs torch -----------------------------------------------------
 
 

@@ -111,12 +111,18 @@ def extract_features(feats_fn, params, batch_stats, dataset, batch_size,
     padding out of the returned arrays. (The reference extracts features
     with `.tolist()` per batch on every rank redundantly,
     `pretrain.py:237-249`.)"""
+    from vipformer_tpu.train.checkpoint import _host_leaf
+
     loader = Loader(dataset, batch_size, collate, shuffle=False)
     feats, labels = [], []
     for batch in loader:
         batch, mask = pad_batch(batch, batch_size)
         sb = shard_batch(batch, mesh)
-        out = np.asarray(feats_fn(params, batch_stats, sb["points"]))
+        # _host_leaf allgathers batch-sharded outputs under multi-controller
+        # runtimes (np.asarray alone raises on non-addressable shards); the
+        # reference instead ran the whole eval redundantly per rank
+        # (`pretrain.py:237-249`)
+        out = _host_leaf(feats_fn(params, batch_stats, sb["points"]))
         feats.append(out[mask])
         labels.append(batch["labels"][mask])
     return np.concatenate(feats), np.concatenate(labels)
@@ -134,11 +140,14 @@ def dump_feats_artifact(run, logger, tag: str, feats, labels) -> str:
     """
     import os as _os
 
+    from vipformer_tpu.train.logging import is_chief
+
     path = run.file(_os.path.join("files", f"{tag}_test_feats_labels.npz"))
-    np.savez(path, feats=np.asarray(feats), labels=np.asarray(labels))
-    logger.write(
-        f"dumped {len(np.asarray(labels))} test feature vectors -> {path}"
-    )
+    if is_chief():  # rank-0 write gate, as `pretrain.py:278-308`
+        np.savez(path, feats=np.asarray(feats), labels=np.asarray(labels))
+        logger.write(
+            f"dumped {len(np.asarray(labels))} test feature vectors -> {path}"
+        )
     return path
 
 

@@ -1,8 +1,9 @@
 """Linear-probe + model-complexity evaluation (reference `eval_zeroshot.py`).
 
 Loads a pretrained point model, extracts full-split backbone features,
-fits a linear SVM (plus, with sklearn present, an RBF SVM and a small grid
-search like the reference's `eval_zeroshot.py:86-115`), and reports
+fits a linear SVM, an RBF SVM, and a small kernel/C grid search (the
+reference's `eval_zeroshot.py:86-115` protocol) — all in-repo and
+on-device (evaluation/svm.py); sklearn is never required — and reports
 parameter count + analytical FLOPs from XLA's cost model.
 """
 
@@ -84,26 +85,24 @@ def main(cfg: Config) -> dict:
     )
     out = {"linear_acc": linear_acc, **report}
 
-    try:
-        from sklearn.model_selection import GridSearchCV
-        from sklearn.svm import SVC
+    # rbf + grid-search probes, in-repo (reference `eval_zeroshot.py:86-115`
+    # used sklearn's SVC/GridSearchCV; these run on-device, backend="jax")
+    from vipformer_tpu.evaluation import fit_rbf_svm, grid_search_svm
 
-        t0 = time.time()
-        rbf = SVC(C=cfg.svm_coff, kernel="rbf").fit(tr_feats, tr_labels)
-        out["rbf_acc"] = float(rbf.score(te_feats, te_labels))
-        logger.write(f"rbf SVM acc: {out['rbf_acc']:.4f}")
-        grid = GridSearchCV(
-            SVC(), {"kernel": ["linear", "rbf"], "C": [0.01, 0.1, 1, 10]},
-            cv=3, n_jobs=-1,
-        ).fit(tr_feats, tr_labels)
-        out["grid_acc"] = float(grid.score(te_feats, te_labels))
-        out["grid_best"] = grid.best_params_
-        logger.write(
-            f"grid-search best {grid.best_params_} acc {out['grid_acc']:.4f} "
-            f"({time.time() - t0:.1f}s)"
-        )
-    except ImportError:
-        logger.write("sklearn absent: skipping rbf/grid probes")
+    t0 = time.time()
+    rbf = fit_rbf_svm(tr_feats, tr_labels, c=cfg.svm_coff)
+    out["rbf_acc"] = float(rbf.score(te_feats, te_labels))
+    logger.write(
+        f"rbf SVM acc: {out['rbf_acc']:.4f} ({time.time() - t0:.1f}s)"
+    )
+    t0 = time.time()
+    grid_model, best, best_val = grid_search_svm(tr_feats, tr_labels)
+    out["grid_acc"] = float(grid_model.score(te_feats, te_labels))
+    out["grid_best"] = best
+    logger.write(
+        f"grid-search best {best} (val {best_val:.4f}) acc "
+        f"{out['grid_acc']:.4f} ({time.time() - t0:.1f}s)"
+    )
     return out
 
 

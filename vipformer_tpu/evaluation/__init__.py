@@ -5,7 +5,13 @@ from vipformer_tpu.evaluation.iou import (
     semseg_miou,
     shape_ious,
 )
-from vipformer_tpu.evaluation.svm import LinearSVM, fit_svm
+from vipformer_tpu.evaluation.svm import (
+    LinearSVM,
+    RBFSVM,
+    fit_rbf_svm,
+    fit_svm,
+    grid_search_svm,
+)
 
 __all__ = [
     "fewshot_eval",
@@ -15,5 +21,8 @@ __all__ = [
     "semseg_miou",
     "shape_ious",
     "LinearSVM",
+    "RBFSVM",
     "fit_svm",
+    "fit_rbf_svm",
+    "grid_search_svm",
 ]

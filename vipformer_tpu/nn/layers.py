@@ -52,6 +52,21 @@ class Dense(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype
         )
+
+        from vipformer_tpu.ops.pallas.dense import (
+            dense_apply,
+            dense_grad_enabled,
+        )
+
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if dense_grad_enabled(rows, fan_in, self.features, x.dtype.itemsize):
+            # same N-D forward einsum; backward routes (dW, db) through the
+            # fused Pallas row-stream kernel (XLA's tall-skinny dW emitter
+            # runs at 2-5% MFU at these shapes — see ops/pallas/dense.py)
+            return dense_apply(x, kernel, bias)
+
         y = jnp.einsum(
             "...i,ij->...j", x, kernel,
             preferred_element_type=jnp.float32,

@@ -295,30 +295,51 @@ def packed_attention_enabled(
 # throughput non-monotone in batch (per-cloud cost 2.9-7.5x higher at B=256
 # than B=32, tools/profile_ops.py). This kernel amortizes launches by
 # processing BT batch rows per grid cell and keeps the scores in VMEM.
+#
+# r3 rewrite: the first version issued per-(row, head) 2-D [G, dh] dots and
+# measured SLOWER than XLA (the fixed per-MXU-op cost swamped the HBM
+# saving). This version uses BT-batched 3-D dot_generals — the same Mosaic
+# batched-dot trick that made flash_train's image-SA cells fast
+# (ops/pallas/flash_train.py:114) — so each head costs two batched MXU ops
+# per cell instead of 2*BT small ones.
 
 _SMALL_BT = 8
 
 
+def _bdot(a, b_arr, contract_a, contract_b):
+    """Batched (leading-dim) f32 dot_general; BT==1 lowers as a 2-D dot
+    (Mosaic schedules batch-1 3-D dots measurably worse)."""
+    if a.shape[0] == 1:
+        out = jax.lax.dot_general(
+            a[0], b_arr[0],
+            (((contract_a - 1,), (contract_b - 1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out[None]
+    return jax.lax.dot_general(
+        a, b_arr,
+        (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _packed_small_kernel(scale, h, q_ref, k_ref, v_ref, o_ref):
-    bt = q_ref.shape[0]
-    d = q_ref.shape[2]
-    dh = d // h
-    for b in range(bt):
-        for head in range(h):
-            sl = slice(head * dh, (head + 1) * dh)
-            q = q_ref[b, :, sl].astype(jnp.float32)  # [G, dh]
-            k = k_ref[b, :, sl].astype(jnp.float32)  # [M, dh]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            o_ref[b, :, sl] = jnp.dot(
-                p.astype(v_ref.dtype), v_ref[b, :, sl],
-                preferred_element_type=jnp.float32,
-            ).astype(o_ref.dtype)
+    q = q_ref[...]  # [BT, G, H*dh]
+    k = k_ref[...]  # [BT, M, H*dh]
+    v = v_ref[...]
+    dh = q.shape[2] // h
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        logits = _bdot(
+            q[:, :, sl].astype(jnp.float32),
+            k[:, :, sl].astype(jnp.float32), 2, 2,
+        ) * scale  # [BT, G, M]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[:, :, sl] = _bdot(p.astype(v.dtype), v[:, :, sl], 2, 1).astype(
+            o_ref.dtype
+        )
 
 
 @partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
@@ -360,24 +381,15 @@ def packed_small_attention_enabled(
         return False  # training goes through flash_train
     if qk_ch != v_ch or qk_ch % num_heads:
         return False
-    if USE_FUSED_ATTENTION is not True:
-        # MEASURED OFF by default (v5e, flagship eval sweep): at M=G=128
-        # the kernel decomposes into per-(row, head) [128, 64] MXU ops
-        # whose fixed per-op cost swamps the HBM saving — B=32 dropped
-        # 18.1k -> 15.4k and B=128 18.7k -> 16.0k clouds/s. The XLA path's
-        # one batched [B*H, G, M] matmul amortizes far better even though
-        # its materialized f32 scores go HBM-BW-bound at large B (the
-        # source of the batch-nonmonotone throughput; see ROADMAP). A win
-        # here needs heads/rows batched into single MXU ops, which Mosaic
-        # cannot express today (no batched dot, no lane reshape).
-        return False
+    if USE_FUSED_ATTENTION is not None:
+        return USE_FUSED_ATTENTION
     if jax.default_backend() != "tpu":
         return False
     if m >= 512 or g > 512:
         return False  # large M belongs to fused_attention_packed
-    # whole-M working set per grid cell must fit VMEM
-    itemsize = 2
-    need = 4 * _SMALL_BT * g * max(qk_ch, 128) * itemsize + 3 * g * max(
-        m, 128
-    ) * 4
+    # whole-M working set per grid cell must fit VMEM: 4x [BT, G|M, D]
+    # q/k/v/o blocks (double-buffered) + [BT, G, M] f32 logits and p
+    need = 2 * 4 * _SMALL_BT * max(g, m) * max(qk_ch, 128) * 2 + (
+        2 * _SMALL_BT * g * max(m, 128) * 4
+    )
     return need < _VMEM_BUDGET

@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: fused (dW, db) backward for tall-skinny Dense layers.
+
+Why: the r3 per-HLO profile of the pretrain step (tools/profile_ops.py,
+B=192) shows XLA's dW emitter is the single largest category of waste.
+A [R, Cin]^T @ [R, Cout] weight-gradient matmul with a tiny [256, 256]
+output and a huge contraction dim lowers to `EmitAllBatchInSublanes`
+fusions measuring 1.6-2.2 ms for 6-19 GFLOP of work (~2-5% MFU), and the
+matching bias-grad column reduces are fused into equally pathological
+multi-output loops (e.g. `fusion.2758`, `select_reduce_fusion` in the
+dumped step HLO).  The reference hides this entirely inside cuBLAS
+(`/root/reference/pretrain.py:209-211` backward); on TPU we own it.
+
+The kernel streams row blocks through VMEM once and accumulates both the
+MXU weight gradient and the VPU bias column-sum in resident f32
+accumulator blocks, so HBM traffic is the roofline minimum: read x and dy
+once, write [Cin, Cout] + [Cout] once.
+
+Used by nn.layers.Dense through a custom_vjp: the forward einsum is
+unchanged (XLA fuses it as before); only grads w.r.t. the kernel/bias are
+routed here.  dx stays an XLA matmul (it is a well-shaped [R, Cout] @
+[Cout, Cin] product XLA already emits at roofline).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# auto policy: kernel on TPU when shapes qualify; None = auto, bool forces
+USE_DENSE_GRAD: bool | None = None
+
+# double-buffered input blocks must fit in 16 MB VMEM next to the f32
+# accumulators and Mosaic's own scratch (measured: a 12 MB input budget
+# still OOMs at [49152, 512+256] — the compiler stacks ~4 MB on top)
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _grad_kernel(x_ref, dy_ref, dw_ref, db_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    x = x_ref[...]
+    dy = dy_ref[...]
+    dw_ref[...] += jax.lax.dot_general(
+        x, dy, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[...] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
+
+
+def _pick_block_rows(r: int, cin: int, cout: int, itemsize: int) -> int:
+    """Largest row block that divides R and double-buffers within budget."""
+    br = 4096
+    while br >= 128:
+        if r % br == 0 and 2 * br * (cin + cout) * itemsize <= _VMEM_BUDGET:
+            return br
+        br //= 2
+    return 0
+
+
+def dense_grads_pallas(x2d: Array, dy2d: Array) -> tuple[Array, Array]:
+    """x2d [R, Cin], dy2d [R, Cout] -> (dW f32 [Cin, Cout], db f32 [Cout])."""
+    r, cin = x2d.shape
+    _, cout = dy2d.shape
+    br = _pick_block_rows(r, cin, cout, x2d.dtype.itemsize)
+    dw, db = pl.pallas_call(
+        _grad_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((cin, cout), jnp.float32),
+            jax.ShapeDtypeStruct((1, cout), jnp.float32),
+        ),
+        grid=(r // br,),
+        in_specs=[
+            pl.BlockSpec((br, cin), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, cout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((cin, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cout), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(x2d, dy2d)
+    return dw, db[0]
+
+
+def dense_grad_enabled(r: int, cin: int, cout: int, itemsize: int) -> bool:
+    if USE_DENSE_GRAD is not None:
+        return USE_DENSE_GRAD
+    if jax.default_backend() != "tpu":
+        return False
+    # Measured window (tools/profile_ops.py pretrain B=192, v5e):
+    # * below ~16k rows dispatch overhead beats the win;
+    # * ABOVE ~64k rows the kernel loses structurally even though it runs
+    #   at HBM roofline itself: a Pallas call's operands must exist as
+    #   plain bf16 default-layout arrays, and at the stem/Group2Emb sites
+    #   ([786k-1.57M, 256]) that forced 2.4 ms layout copies (the 4-D
+    #   {3,1,2,0} residuals) and 1.8 ms convert materializations that
+    #   XLA previously fused into its dW emitters — step 130.7 -> 147.5 ms.
+    #   In that regime XLA also amortizes multiple dW products over one
+    #   activation read (3-output kOutput fusions), which a per-layer
+    #   kernel cannot.
+    # The win lives at the encoder projections ([B*G ~= 49k, 256] with
+    # ~25 MB operands that already exist as arrays), where XLA's
+    # tall-skinny dW fusions measure 1.6-2.2 ms for ~0.1 ms of work.
+    return (
+        16384 <= r <= 65536
+        and cout <= 1024
+        and cin <= 1024
+        and _pick_block_rows(r, cin, cout, itemsize) > 0
+    )
+
+
+@jax.custom_vjp
+def dense_apply(x: Array, w: Array, b: Array | None) -> Array:
+    """y = cast(x @ w, x.dtype) + b — identical math (and identical N-D
+    einsum, so XLA's forward fusions/layouts are untouched) to the inline
+    einsum in nn.layers.Dense; exists only to attach the Pallas grad
+    kernel.  Flattening to 2-D happens only in the backward — an early
+    version reshaped the forward operand and the forced layout
+    materializations cost more than the kernel saved (130.7 -> 143.8 ms
+    step, tools/profile_ops.py)."""
+    y = jnp.einsum(
+        "...i,ij->...j", x, w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _dense_fwd(x, w, b):
+    return dense_apply(x, w, b), (x, w, b)
+
+
+def _dense_bwd(res, dy):
+    x, w, b = res
+    dx = jnp.einsum(
+        "...j,ij->...i", dy, w, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    dw, db = dense_grads_pallas(
+        x.reshape(-1, x.shape[-1]), dy.reshape(-1, dy.shape[-1])
+    )
+    dw = dw.astype(w.dtype)
+    db = db.astype(b.dtype) if b is not None else None
+    return dx, dw, db
+
+
+dense_apply.defvjp(_dense_fwd, _dense_bwd)

@@ -19,14 +19,38 @@ import numpy as np
 from flax import serialization
 
 
+def _host_leaf(x):
+    """One leaf -> host numpy, valid under multi-controller runtimes.
+
+    np.asarray raises on arrays whose shards live on other hosts; replicated
+    arrays read the local copy, genuinely sharded ones are allgathered (a
+    collective — every process must reach this point). The reference never
+    faced this: DDP keeps a full replica per rank (`pretrain.py:286-290`).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    return jax.tree_util.tree_map(_host_leaf, tree)
 
 
 def save_checkpoint(path: str, tree: Any, metadata: dict | None = None) -> None:
+    """Snapshot a pytree to disk. Multi-controller safe: every process
+    participates in gathering device state (collective), but only process 0
+    writes — the rank-0 gate the reference applies at each torch.save
+    (`pretrain.py:278-308`), enforced here so no caller can forget it."""
+    host_tree = _to_host(tree)
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     raw = serialization.msgpack_serialize(
-        serialization.to_state_dict(_to_host(tree))
+        serialization.to_state_dict(host_tree)
     )
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

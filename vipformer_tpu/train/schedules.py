@@ -48,22 +48,41 @@ def cosine_warmup_restarts_lr(
 
 @dataclass
 class PlateauState:
+    """torch ReduceLROnPlateau(mode='min') state machine, exact semantics:
+    rel-threshold improvement test (default 1e-4), cooldown epochs during
+    which bad-epoch counting is suspended, a floor `min_lr`, and the `eps`
+    rule that skips updates smaller than eps. Defaults match torch's (the
+    reference passes only factor/patience, `pretrain.py:146-152`).
+    Trajectory-pinned against torch in tests/test_train.py."""
+
     lr: float
     factor: float
     patience: int
+    threshold: float = 1e-4
+    cooldown: int = 0
+    min_lr: float = 0.0
+    eps: float = 1e-8
     best: float = math.inf
     bad_epochs: int = 0
+    cooldown_counter: int = 0
 
     def update(self, metric: float) -> float:
         """Feed the epoch metric (lower is better); returns the lr to use."""
-        if metric < self.best:
+        # rel-mode improvement: metric < best * (1 - threshold)
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad_epochs = 0
         else:
             self.bad_epochs += 1
-            if self.bad_epochs > self.patience:
-                self.lr *= self.factor
-                self.bad_epochs = 0
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad_epochs = 0
+        if self.bad_epochs > self.patience:
+            new_lr = max(self.lr * self.factor, self.min_lr)
+            if self.lr - new_lr > self.eps:
+                self.lr = new_lr
+            self.cooldown_counter = self.cooldown
+            self.bad_epochs = 0
         return self.lr
 
 
