@@ -310,8 +310,9 @@ def main():
         detail["effective_tflops"] = round(eff_tflops, 1)
         peak = _chip_peak_tflops()
         if peak:
-            # conservative: XLA's cost model excludes the Pallas custom
-            # calls (FPS/kNN/stem), so real utilization is higher
+            # forward_flops lowers in xla_reference_mode, so the Pallas
+            # custom calls' matmuls (attention/stem/kNN) ARE in the
+            # denominator (r3 fix of the r2 MFU under-count)
             detail["mfu"] = round(eff_tflops / peak, 4)
             detail["chip_peak_tflops_bf16"] = peak
     except Exception as e:

@@ -76,26 +76,29 @@ def pinned(ref, monkeypatch):
     torch.manual_seed(0)
 
 
-def _tiny_ref_ft(ref):
-    adapter = ref.classifier.PointCloudInputAdapter((N, 3), D)
+def _tiny_ref_ft(ref, *, n=None, g=None, s=None, d=None, heads=2,
+                 sa_layers=2):
+    n, g, s, d = n or N, g or G, s or S, d or D
+    adapter = ref.classifier.PointCloudInputAdapter((n, 3), d)
     return ref.partseg.CrossFormer_pc_mp_ft(
-        input_adapter=adapter, num_latents=G, num_latent_channels=D,
-        group_size=S, num_cross_attention_layers=1,
-        num_cross_attention_heads=2, num_self_attention_layers=2,
-        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        input_adapter=adapter, num_latents=g, num_latent_channels=d,
+        group_size=s, num_cross_attention_layers=1,
+        num_cross_attention_heads=heads, num_self_attention_layers=sa_layers,
+        num_self_attention_heads=heads, mlp_widen_factor=2, max_dpr=0.0,
         atten_drop=0.0, mlp_drop=0.0, modal_prior=True,
         num_obj_classes=NUM_CLASSES,
     )
 
 
-def _our_ft_model():
+def _our_ft_model(*, g=None, s=None, d=None, heads=2, sa_layers=2):
     from vipformer_tpu.models.crossformer import CrossFormerPCFT
 
+    g, s, d = g or G, s or S, d or D
     return CrossFormerPCFT(
-        num_latents=G, num_latent_channels=D, group_size=S,
+        num_latents=g, num_latent_channels=d, group_size=s,
         patch_compat=True, num_cross_attention_layers=1,
-        num_cross_attention_heads=2, num_self_attention_layers=2,
-        num_self_attention_heads=2, mlp_widen_factor=2, max_dpr=0.0,
+        num_cross_attention_heads=heads, num_self_attention_layers=sa_layers,
+        num_self_attention_heads=heads, mlp_widen_factor=2, max_dpr=0.0,
         atten_drop=0.0, mlp_drop=0.0, num_obj_classes=NUM_CLASSES,
     )
 
@@ -196,16 +199,20 @@ def _cfg(**kw):
     return Config(**base)
 
 
-def _run_our_cls(ref, tm, batches, lrs, optim):
+def _run_our_cls(ref, tm, batches, lrs, optim, *, g=None, s=None, d=None,
+                 heads=2, sa_layers=2):
     from vipformer_tpu.train.trainer import (
         create_state,
         make_cls_step,
     )
 
-    model = _our_ft_model()
+    g, s, d = g or G, s or S, d or D
+    model = _our_ft_model(g=g, s=s, d=d, heads=heads, sa_layers=sa_layers)
     params, stats = _ft_params(tm)
     cfg = _cfg(optim=optim, lr=float(lrs[0]),
-               momentum=0.9)
+               momentum=0.9, num_latent_channels=d, num_pc_latents=g,
+               num_groups=g, group_size=s, num_ca_heads=heads,
+               num_sa_heads=heads, num_sa_layers=sa_layers)
     state, tx = create_state(cfg, _to_f32_tree(params), _to_f32_tree(stats))
     step = make_cls_step(cfg, model, tx)
     key = jax.random.key(0)
@@ -409,3 +416,55 @@ def test_pretrain_trajectory_parity(ref, rng, pinned):
     # (the tight check is the loss trajectory above)
     _assert_tree_close(state.params["pc"], _to_f32_tree(fp),
                        rtol=0.1, atol=2.5e-2, what="pretrain pc params")
+
+
+@pytest.mark.parametrize("optim", ["adam", "sgd"])
+def test_ft_cls_trajectory_parity_flagship_dims(ref, rng, pinned, optim):
+    """Trajectory parity at flagship-order dimensions (VERDICT r2 item 4):
+    D=256 latent channels, G=64 groups, N=512 points, 4 SA layers x 4
+    heads, 10 steps, both optimizers. Same methodology as the toy-dim test
+    above; this pins the numerics where head-dim/group-size/width-dependent
+    code paths (head split, BN over 64x8 patch rows, wider MLPs) actually
+    run at their real proportions."""
+    from vipformer_tpu.train.schedules import cosine_lr
+
+    n2, g2, s2, d2, heads, layers, steps, b2 = 512, 64, 8, 256, 4, 4, 10, 4
+
+    torch = ref.torch
+    adapter = ref.classifier.PointCloudInputAdapter((n2, 3), d2)
+    tm = ref.partseg.CrossFormer_pc_mp_ft(
+        input_adapter=adapter, num_latents=g2, num_latent_channels=d2,
+        group_size=s2, num_cross_attention_layers=1,
+        num_cross_attention_heads=heads, num_self_attention_layers=layers,
+        num_self_attention_heads=heads, mlp_widen_factor=2, max_dpr=0.0,
+        atten_drop=0.0, mlp_drop=0.0, modal_prior=True,
+        num_obj_classes=NUM_CLASSES,
+    )
+    data = [
+        (rng.standard_normal((b2, n2, 3)).astype(np.float32),
+         rng.integers(0, NUM_CLASSES, size=(b2,)).astype(np.int64))
+        for _ in range(3)
+    ]
+    batches = [data[t % len(data)] for t in range(steps)]
+    lrs = [cosine_lr(t, 1e-3, steps) for t in range(steps)]
+
+    ours, state = _run_our_cls(
+        ref, tm, batches, lrs, optim, g=g2, s=s2, d=d2, heads=heads,
+        sa_layers=layers,
+    )
+    theirs = _run_torch_cls(ref, tm, batches, lrs, optim)
+    # step 0 pins forward+loss (measured agreement ~1e-5 rel), steps 0-1 pin
+    # one optimizer update. Traced divergence beyond that: under ADAM the
+    # per-coordinate rescaling amplifies f32 reduction-order noise
+    # geometrically (~20x/step at these dims; SGD stays within 2e-3 over
+    # all 10 steps, which rules out any semantic mismatch) — so the adam
+    # full-trajectory bound is chaos-sized, not bug-sized.
+    np.testing.assert_allclose(ours[:2], theirs[:2], rtol=1e-3, atol=1e-4)
+    full_rtol = 5e-2 if optim == "adam" else 2e-3
+    np.testing.assert_allclose(ours, theirs, rtol=full_rtol, atol=2e-4)
+
+    final_params, _ = _ft_params(tm)
+    _assert_tree_close(
+        state.params, _to_f32_tree(final_params), rtol=0.1, atol=1e-2,
+        what=f"flagship-dims {optim} final params",
+    )

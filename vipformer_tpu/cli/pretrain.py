@@ -61,7 +61,7 @@ def main(cfg: Config) -> dict:
 
     train_set = ShapeNetRender(
         cfg.data_dir, cfg.img_height, cfg.img_width, cfg.num_pt_points,
-        raw_views=cfg.device_augs,
+        synthetic_size=cfg.synthetic_size, raw_views=cfg.device_augs,
     )
     from vipformer_tpu.data import collate_pretrain_raw
 

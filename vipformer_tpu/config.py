@@ -99,6 +99,8 @@ class Config:
     ballradius: int = 10
     svm_coff: float = 1.0
     synthetic_data: bool = False  # run on generated data when real sets absent
+    synthetic_size: int = 512  # synthetic ShapeNetRender sample count (the
+    # real set is ~43k; raise for long-horizon soak runs on generated data)
     patch_compat: bool = False  # reproduce the reference's patch
     # normalization slice bit-for-bit (pointcloud/utils.py:36) — required for
     # checkpoints trained with the reference code; default is its documented

@@ -106,9 +106,15 @@ def knn(k: int, points: Array, queries: Array, method: str | None = None) -> Arr
     agree to ~2^-(23-log2 N) relative get ordered by index instead of
     distance — below f32 noise for these workloads, and deterministic.
     """
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+
     method = method or KNN_METHOD
     if method is None:
-        method = "pallas" if jax.default_backend() == "tpu" else "exact"
+        method = (
+            "pallas"
+            if jax.default_backend() == "tpu" and not tp_kernels_disabled()
+            else "exact"
+        )
     if method == "pallas":
         from vipformer_tpu.ops.pallas.knn import knn_pallas
 
@@ -133,6 +139,10 @@ USE_PALLAS_FPS: bool | None = None
 
 
 def _pallas_fps_enabled() -> bool:
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+
+    if tp_kernels_disabled():
+        return False
     if USE_PALLAS_FPS is not None:
         return USE_PALLAS_FPS
     return jax.default_backend() == "tpu"

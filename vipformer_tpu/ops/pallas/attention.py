@@ -102,6 +102,10 @@ def fused_attention(
 
 
 def fused_attention_enabled(pad_mask, dropout_rate, deterministic) -> bool:
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+
+    if tp_kernels_disabled():
+        return False
     if pad_mask is not None:
         return False
     if dropout_rate > 0.0 and not deterministic:
@@ -272,6 +276,10 @@ def packed_attention_enabled(
     copies). Small-M self-attention stays on XLA, which fuses those shapes
     well already.
     """
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+
+    if tp_kernels_disabled():
+        return False
     if pad_mask is not None or (dropout_rate > 0.0 and not deterministic):
         return False
     if qk_ch != v_ch or qk_ch % num_heads:
@@ -375,6 +383,10 @@ def packed_small_attention_enabled(
     dropout_rate: float, deterministic: bool,
 ) -> bool:
     """Eval-mode gate for the batch-blocked small-M kernel."""
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+
+    if tp_kernels_disabled():
+        return False
     if pad_mask is not None or (dropout_rate > 0.0 and not deterministic):
         return False
     if not deterministic:

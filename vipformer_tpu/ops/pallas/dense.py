@@ -95,6 +95,10 @@ def dense_grads_pallas(x2d: Array, dy2d: Array) -> tuple[Array, Array]:
 
 
 def dense_grad_enabled(r: int, cin: int, cout: int, itemsize: int) -> bool:
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+
+    if tp_kernels_disabled():
+        return False
     if USE_DENSE_GRAD is not None:
         return USE_DENSE_GRAD
     if jax.default_backend() != "tpu":

@@ -391,8 +391,11 @@ def flash_train_enabled(
     the eval gate there is no M >= 512 cutoff: at ANY M the win is not the
     matmul but never materializing scores/masks/rng in HBM.
     """
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
     from vipformer_tpu.ops.pallas.attention import USE_FUSED_ATTENTION
 
+    if tp_kernels_disabled():
+        return False
     if deterministic or pad_mask is not None:
         return False
     if qk_ch != v_ch or qk_ch % num_heads:

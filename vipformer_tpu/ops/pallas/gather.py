@@ -184,6 +184,10 @@ gather_rows_pallas.defvjp(_gather_fwd, _gather_bwd)
 
 
 def mxu_gather_enabled(points: Array, flat_k: int) -> bool:
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+
+    if tp_kernels_disabled():
+        return False
     if USE_MXU_GATHER is not None:
         return USE_MXU_GATHER
     if jax.default_backend() != "tpu":

@@ -231,6 +231,10 @@ def fused_stem_supported(
 
 
 def fused_stem_enabled() -> bool:
+    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+
+    if tp_kernels_disabled():
+        return False
     if USE_FUSED_STEM is not None:
         return USE_FUSED_STEM
     return jax.default_backend() == "tpu"

@@ -69,6 +69,16 @@ def make_mesh(
     n = num_devices or len(devs)
     if n % model_axis:
         raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    # TP meshes run the XLA compute paths: the packed-layout Pallas kernels
+    # have no SPMD partitioning rule and would force replication (or fail
+    # to lower) on feature-sharded operands — see ops/pallas/__init__.py
+    import logging
+
+    from vipformer_tpu.ops.pallas import set_tp_kernel_gate
+
+    set_tp_kernel_gate(
+        model_axis, log=logging.getLogger("vipformer_tpu").warning
+    )
     arr = np.array(devs[:n]).reshape(n // model_axis, model_axis)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
