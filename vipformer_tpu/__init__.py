@@ -11,3 +11,15 @@ plumbing, and pytree checkpoints.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Honor an explicit platform request (VIPFORMER_PLATFORM=cpu|tpu) even in
+# images whose sitecustomize force-registers a remote-TPU PJRT plugin and
+# overwrites jax_platforms at interpreter start (plain JAX_PLATFORMS=cpu is
+# silently ignored there).  Must run before any backend is initialized —
+# importing this package is the CLIs' first act, so this is early enough.
+if _os.environ.get("VIPFORMER_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VIPFORMER_PLATFORM"])

@@ -99,13 +99,28 @@ def main(cfg: Config) -> dict:
     state, tx = create_state(cfg, params, stats)
     start_epoch = 0
     if cfg.resume:
-        path = run.model_path(cfg.pc_model_file)
-        restored = load_checkpoint(path, template=state)
-        state = restored
-        from vipformer_tpu.train import load_metadata
+        import os as _os
 
-        start_epoch = load_metadata(path).get("epoch", -1) + 1
-        logger.write(f"resumed from {path} at epoch {start_epoch}")
+        # prefer the rolling last-epoch snapshot over the best-probe one:
+        # after a mid-run kill "best" may be many epochs stale (the
+        # reference resume had the same weakness, `pretrain.py:95-101` —
+        # weights of the best epoch only)
+        path = run.model_path(cfg.pc_model_file)
+        last = run.model_path("pc_model_last")
+        if cfg.pc_model_file == "pc_model_best" and _os.path.exists(last):
+            path = last
+        if _os.path.exists(path):
+            restored = load_checkpoint(path, template=state)
+            state = restored
+            from vipformer_tpu.train import load_metadata
+
+            start_epoch = load_metadata(path).get("epoch", -1) + 1
+            logger.write(f"resumed from {path} at epoch {start_epoch}")
+        else:
+            # a run killed before its first save has nothing to resume;
+            # start fresh rather than crash (matters for unattended
+            # requeue loops — tools/run_queue.py retries)
+            logger.write(f"resume requested but {path} missing: fresh start")
     state = place_state(state, mesh)
 
     step = make_pretrain_step(
@@ -174,11 +189,15 @@ def main(cfg: Config) -> dict:
                 {"epoch": epoch, "svm_test_acc": test_acc, "kind": "pretrain"},
             )
         if cfg.save_freq and (epoch + 1) % cfg.save_freq == 0:
+            host_state = jax.device_get(state)
+            meta = {"epoch": epoch, "svm_test_acc": test_acc,
+                    "kind": "pretrain"}
             save_checkpoint(
-                run.model_path(f"pc_model_epoch{epoch}"),
-                jax.device_get(state),
-                {"epoch": epoch, "svm_test_acc": test_acc, "kind": "pretrain"},
+                run.model_path(f"pc_model_epoch{epoch}"), host_state, meta
             )
+            # rolling snapshot --resume restarts from (kill-safe: the save
+            # is atomic via os.replace)
+            save_checkpoint(run.model_path("pc_model_last"), host_state, meta)
         logger.write(
             f"epoch {epoch}: probe acc {test_acc:.4f} (best {best_acc:.4f}"
             f"@{best_epoch}) lr {lr:.5f} train {train_time:.1f}s "
