@@ -235,6 +235,16 @@ def parse_trace(trace_dir: str, top: int = 25):
 
 
 def main():
+    # VIPFORMER_NO_PALLAS=attention|dense|all profiles the XLA lowering of
+    # the named kernel group for A/B reads of a kernel's in-model win
+    off = os.environ.get("VIPFORMER_NO_PALLAS")
+    if off:
+        from vipformer_tpu.ops.pallas import attention, dense
+
+        if off in ("attention", "all"):
+            attention.USE_FUSED_ATTENTION = False
+        if off in ("dense", "all"):
+            dense.USE_DENSE_GRAD = False
     name = sys.argv[1] if len(sys.argv) > 1 else "cls"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     global _TOP
@@ -247,7 +257,10 @@ def main():
     parse_trace(trace_dir, top=_TOP)
     print(f"# trace: {trace_dir}")
     # keep only the latest couple of traces around
-    old = sorted(glob.glob(tempfile.gettempdir() + "/vipformer_trace_*"))
+    old = sorted(
+        glob.glob(tempfile.gettempdir() + "/vipformer_trace_*"),
+        key=os.path.getmtime,
+    )
     for d in old[:-4]:
         shutil.rmtree(d, ignore_errors=True)
 

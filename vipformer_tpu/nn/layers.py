@@ -67,10 +67,16 @@ class Dense(nn.Module):
             # runs at 2-5% MFU at these shapes — see ops/pallas/dense.py)
             return dense_apply(x, kernel, bias)
 
+        # preferred_element_type = the compute dtype, NOT f32-then-astype:
+        # the MXU accumulates f32 internally and rounds on emit either way
+        # (K <= 1k is a single pass), but with f32-then-convert XLA
+        # materializes the f32 product (r3 HLO: 100 MB f32 conv outputs per
+        # MLP Dense at [384,128,512]) instead of folding the convert into
+        # the conv emit
         y = jnp.einsum(
             "...i,ij->...j", x, kernel,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+            preferred_element_type=x.dtype,
+        )
         if bias is not None:
             y = y + bias
         return y

@@ -134,9 +134,10 @@ def dense_apply(x: Array, w: Array, b: Array | None) -> Array:
     version reshaped the forward operand and the forced layout
     materializations cost more than the kernel saved (130.7 -> 143.8 ms
     step, tools/profile_ops.py)."""
-    y = jnp.einsum(
-        "...i,ij->...j", x, w, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    # emit at x.dtype directly (MXU still accumulates f32 internally);
+    # f32-then-astype made XLA materialize the f32 product — see the same
+    # note in nn.layers.Dense
+    y = jnp.einsum("...i,ij->...j", x, w, preferred_element_type=x.dtype)
     if b is not None:
         y = y + b
     return y
@@ -148,9 +149,7 @@ def _dense_fwd(x, w, b):
 
 def _dense_bwd(res, dy):
     x, w, b = res
-    dx = jnp.einsum(
-        "...j,ij->...i", dy, w, preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+    dx = jnp.einsum("...j,ij->...i", dy, w, preferred_element_type=x.dtype)
     dw, db = dense_grads_pallas(
         x.reshape(-1, x.shape[-1]), dy.reshape(-1, dy.shape[-1])
     )
