@@ -40,7 +40,7 @@ def cli_args(cfg_overrides):
         sys.executable, "-m", "vipformer_tpu.cli.pretrain",
         "--arch", "E1CL8SL-H4D256-L128-MR2",
         "--synthetic_data", "true",
-        "--synthetic_size", "24576",
+        "--synthetic_size", "12288",
         "--num_pt_points", "2048",
         "--num_test_points", "1024",
         "--img_height", "144", "--img_width", "144", "--patch_size", "12",

@@ -36,7 +36,27 @@ class Group2Emb(nn.Module):
 
     @nn.compact
     def __call__(self, point_groups: Array, deterministic: bool = True) -> Array:
-        b, g, s, _ = point_groups.shape
+        b, g, s, cin = point_groups.shape
+
+        from vipformer_tpu.ops.pallas.g2e_train import (
+            g2e_train_enabled,
+            g2e_train_supported,
+        )
+
+        if (
+            not deterministic
+            and not self.is_initializing()
+            and g2e_train_enabled()
+            and g2e_train_supported(b, g, s, cin)
+        ):
+            # fused train path (ops/pallas/g2e_train.py): the whole
+            # mini-PointNet runs in VMEM row blocks with only the
+            # pre-BatchNorm_1 activation cached in HBM — same weights,
+            # same train-mode BN semantics, custom VJP. The running-stat
+            # momentum update happens here with the kernel's batch stats
+            # (flax formula, undifferentiated like the XLA path).
+            return self._fused_train(point_groups, s)
+
         x = Dense(64, dtype=self.dtype)(point_groups)
         x = batch_norm(deterministic, self.dtype)(x)
         x = jax.nn.relu(x)
@@ -50,6 +70,43 @@ class Group2Emb(nn.Module):
         x = jax.nn.relu(x)
         x = Dense(self.dim_model, dtype=self.dtype)(x)
         return jnp.max(x, axis=2)  # [B, G, D]
+
+    def _fused_train(self, point_groups: Array, s: int) -> Array:
+        from vipformer_tpu.ops.pallas.g2e_train import g2e_train_apply
+
+        dt = self.dtype or point_groups.dtype
+        p = {
+            k: self.get_variable("params", k)
+            for k in ("Dense_0", "Dense_1", "Dense_2", "Dense_3",
+                      "BatchNorm_0", "BatchNorm_1")
+        }
+        wb = (
+            p["Dense_0"]["kernel"], p["Dense_0"]["bias"],
+            p["BatchNorm_0"]["scale"], p["BatchNorm_0"]["bias"],
+            p["Dense_1"]["kernel"], p["Dense_1"]["bias"],
+            p["Dense_2"]["kernel"], p["Dense_2"]["bias"],
+            p["BatchNorm_1"]["scale"], p["BatchNorm_1"]["bias"],
+            p["Dense_3"]["kernel"], p["Dense_3"]["bias"],
+        )
+        out, (mu0, var0, mu1, var1) = g2e_train_apply(
+            point_groups.astype(dt), wb, s,
+            jax.default_backend() != "tpu",  # interpret off-TPU (CPU tests)
+        )
+        if self.is_mutable_collection("batch_stats"):
+            mom = 0.9  # torch momentum 0.1 (nn.layers.batch_norm)
+            for name, mu, var in (
+                ("BatchNorm_0", mu0, var0),
+                ("BatchNorm_1", mu1, var1),
+            ):
+                ra = self.get_variable("batch_stats", name)
+                self.put_variable(
+                    "batch_stats", name,
+                    {
+                        "mean": mom * ra["mean"] + (1 - mom) * mu,
+                        "var": mom * ra["var"] + (1 - mom) * var,
+                    },
+                )
+        return out
 
 
 class PositionEmb(nn.Module):

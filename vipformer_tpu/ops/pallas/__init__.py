@@ -49,13 +49,16 @@ def xla_reference_mode():
     model-FLOPs for the same computation (bench.py MFU denominator).
     """
     import vipformer_tpu.ops.geometry as geometry
-    from vipformer_tpu.ops.pallas import attention, dense, gather, stem
+    from vipformer_tpu.ops.pallas import (
+        attention, dense, g2e_train, gather, stem,
+    )
 
     saved = (
         attention.USE_FUSED_ATTENTION,
         dense.USE_DENSE_GRAD,
         gather.USE_MXU_GATHER,
         stem.USE_FUSED_STEM,
+        g2e_train.USE_G2E_TRAIN,
         geometry.USE_PALLAS_FPS,
         geometry.KNN_METHOD,
     )
@@ -64,6 +67,7 @@ def xla_reference_mode():
         dense.USE_DENSE_GRAD = False
         gather.USE_MXU_GATHER = False
         stem.USE_FUSED_STEM = False
+        g2e_train.USE_G2E_TRAIN = False
         geometry.USE_PALLAS_FPS = False
         geometry.KNN_METHOD = "exact"
         yield
@@ -73,6 +77,7 @@ def xla_reference_mode():
             dense.USE_DENSE_GRAD,
             gather.USE_MXU_GATHER,
             stem.USE_FUSED_STEM,
+            g2e_train.USE_G2E_TRAIN,
             geometry.USE_PALLAS_FPS,
             geometry.KNN_METHOD,
         ) = saved
