@@ -84,6 +84,19 @@ def test_ft_cls_cli_from_scratch(tmp_path):
     assert 0.0 <= out["best_acc"] <= 1.0
 
 
+def test_ft_cls_cli_eval_only(tmp_path):
+    """Reference `--eval` mode (parser.py:30, dormant there; live here):
+    load model_best and report test accuracy without training."""
+    from vipformer_tpu.cli import ft_cls
+
+    cfg = tiny_cfg(tmp_path, exp_name="ev", num_obj_classes=40)
+    trained = ft_cls.main(cfg)
+    out = ft_cls.main(cfg.replace(eval_only=True))
+    assert out["best_epoch"] == -1
+    # same checkpoint + same synthetic test split => same accuracy
+    assert out["best_acc"] == pytest.approx(trained["best_acc"], abs=1e-6)
+
+
 def test_ft_partseg_cli(tmp_path):
     from vipformer_tpu.cli import ft_partseg
 

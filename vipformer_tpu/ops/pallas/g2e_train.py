@@ -169,13 +169,31 @@ def _f3_kernel(s, h3p_ref, a1_ref, c1_ref, w3_ref, b3_ref,
     x3 = jax.nn.relu(y3)
     h4 = _dense(x3, w3_ref, b3_ref, dt)  # [rows, D]
     rows, d = h4.shape
-    h4g = h4.reshape(rows // s, s, d)
+    gc = rows // s
+    h4g = h4.reshape(gc, s, d)
     mx = jnp.max(h4g, axis=1)
     out_ref[...] = mx
-    iota = jax.lax.broadcasted_iota(jnp.int32, h4g.shape, 1)
-    first = jnp.min(
-        jnp.where(h4g == mx[:, None, :], iota, s), axis=1
+    # select-first-argmax without an i1 select: Mosaic's layout inference
+    # demands the select mask lane-replicated whenever both value operands
+    # are (iota varies only by row), and relayouting a concrete mask to a
+    # replicated layout is invalid ("Non-singleton logical dimension is
+    # replicated in destination but not in source"). Cast the miss mask to
+    # i32 and blend arithmetically instead — replicated->concrete
+    # relayouts of the value operands are legal.
+    mxbig = jax.lax.broadcast_in_dim(mx, (gc, s, d), (0, 2)).reshape(
+        rows, d
     )
+    iota = jax.lax.broadcasted_iota(jnp.int32, (gc, s, d), 1).reshape(
+        rows, d
+    )
+    # f32 compare: the VPU has no bf16 compare ("Target does not
+    # support this comparison"); exactness is preserved (bf16 -> f32
+    # widening is injective)
+    miss = (
+        h4.astype(jnp.float32) != mxbig.astype(jnp.float32)
+    ).astype(jnp.int32)  # 0 at a max, 1 elsewhere
+    cand = iota + (s - iota) * miss  # iota at a max, s elsewhere
+    first = jnp.min(cand.reshape(gc, s, d), axis=1)
     amax_ref[...] = first.astype(jnp.int32)
 
 
@@ -187,13 +205,18 @@ def _dh4_from(s, dy_ref, amax_ref, rows, d):
     dyg = dy_ref[...]  # [gc, D]
     am = amax_ref[...]  # [gc, D] int32
     gc = rows // s
-    iota = jax.lax.broadcasted_iota(jnp.int32, (gc, s, d), 1)
-    dh4 = jnp.where(
-        iota == am[:, None, :],
-        jax.lax.broadcast_in_dim(dyg, (gc, s, d), (0, 2)),
-        0.0,
+    # mask-cast + multiply for the same Mosaic-relayout reason as
+    # _f3_kernel (no i1 select with replicated value operands)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (gc, s, d), 1).reshape(
+        rows, d
     )
-    return dh4.reshape(rows, d)
+    ambig = jax.lax.broadcast_in_dim(am, (gc, s, d), (0, 2)).reshape(
+        rows, d
+    )
+    dybig = jax.lax.broadcast_in_dim(dyg, (gc, s, d), (0, 2)).reshape(
+        rows, d
+    )
+    return dybig * (iota == ambig).astype(dybig.dtype)
 
 
 def _x3_from_h3p(h3p_ref, a1_ref, c1_ref):
@@ -216,7 +239,7 @@ def _p1_kernel(s, h3p_ref, dy_ref, amax_ref, a1_ref, c1_ref, w3_ref,
     _acc_dw(dw3_ref, x3, dh4)
     db3_ref[...] += _colsum(dh4.astype(jnp.float32))
     dx3 = _dense_t(dh4, w3_ref)  # f32 [rows, 256]
-    dy3 = jnp.where(x3 > 0, dx3, 0.0)
+    dy3 = jnp.where(x3.astype(jnp.float32) > 0, dx3, 0.0)
     xhat3 = (
         h3p_ref[...].astype(jnp.float32) - mu1_ref[...][0]
     ) * rstd1_ref[...][0]
@@ -241,7 +264,7 @@ def _p2_kernel(s, x0_ref, h3p_ref, dy_ref, amax_ref,
     d = dy_ref.shape[-1]
     dh4 = _dh4_from(s, dy_ref, amax_ref, rows, d).astype(dt)
     dx3 = _dense_t(dh4, w3_ref)
-    dy3 = jnp.where(x3 > 0, dx3, 0.0)
+    dy3 = jnp.where(x3.astype(jnp.float32) > 0, dx3, 0.0)
     xhat3 = (
         h3p_ref[...].astype(jnp.float32) - mu1_ref[...][0]
     ) * rstd1_ref[...][0]
@@ -257,19 +280,24 @@ def _p2_kernel(s, x0_ref, h3p_ref, dy_ref, amax_ref,
     dh2loc = dxc[:, c2:]
     gc = rows // s
     dgmax = jnp.sum(dgbig.reshape(gc, s, c2), axis=1)  # [gc, 128]
-    h2g = h2.reshape(gc, s, c2)
-    eq = (h2g == jax.lax.broadcast_in_dim(gmax, (gc, s, c2), (0, 2)))
-    cnt = jnp.sum(eq.astype(jnp.float32), axis=1)  # [gc, 128]
-    share = jax.lax.broadcast_in_dim(
+    # tie-splitting maxpool backward in 2-D arithmetic form: f32 compare
+    # (no bf16 VPU compare) and mask-cast * multiply instead of an i1
+    # select whose value operands are both sublane-replicated (same
+    # Mosaic relayout limitation as _f3_kernel)
+    h2f = h2.astype(jnp.float32)
+    gmaxbig = jax.lax.broadcast_in_dim(
+        gmax.astype(jnp.float32), (gc, s, c2), (0, 2)
+    ).reshape(rows, c2)
+    eqf = (h2f == gmaxbig).astype(jnp.float32)  # [rows, c2]
+    cnt = jnp.sum(eqf.reshape(gc, s, c2), axis=1)  # [gc, 128]
+    sharebig = jax.lax.broadcast_in_dim(
         dgmax / cnt, (gc, s, c2), (0, 2)
-    )
-    dh2 = (
-        dh2loc + jnp.where(eq, share, 0.0).reshape(rows, c2)
-    ).astype(dt)
+    ).reshape(rows, c2)
+    dh2 = (dh2loc + sharebig * eqf).astype(dt)
     _acc_dw(dw1_ref, x1, dh2)
     db1_ref[...] += _colsum(dh2.astype(jnp.float32))
     dx1 = _dense_t(dh2, w1_ref)  # f32 [rows, 64]
-    dy1 = jnp.where(x1 > 0, dx1, 0.0)
+    dy1 = jnp.where(x1.astype(jnp.float32) > 0, dx1, 0.0)
     dy1_ref[...] = dy1.astype(dt)
     h1p = _dense(x0_ref[...], w0_ref, b0_ref, dt)
     xhat1 = (
