@@ -1,7 +1,12 @@
-.PHONY: test bench viz profile clean
+.PHONY: test test-tpu bench viz profile clean
 
 test:
 	python -m pytest tests/ -x -q
+
+# hardware-gated validation on the real chip (skipped in the CPU suite):
+# flash-train dropout parity + compiled-Mosaic Group2Emb parity
+test-tpu:
+	VIPFORMER_TEST_TPU=1 python -m pytest tests/ -q -k on_tpu
 
 bench:
 	python bench.py

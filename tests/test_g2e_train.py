@@ -201,3 +201,48 @@ def test_pretrain_step_equivalent_with_fused_g2e(rng, monkeypatch):
         jnp.linalg.norm(got_flat - ref_flat) / jnp.linalg.norm(ref_flat)
     )
     assert rel < 5e-3, rel
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled-Mosaic validation needs the real chip",
+)
+def test_compiled_matches_interpret_on_tpu():
+    """Compiled (Mosaic) kernel vs interpret mode at flagship dims in
+    bf16: fwd values and grads. Guards against TPU-only lowering bugs the
+    CPU interpret suite cannot see (r3 caught an invalid i1-mask relayout
+    and unsupported bf16 compares only on hardware)."""
+    rng = np.random.default_rng(11)
+    b, g, s, cin, d = 6, 64, 32, 3, 256
+    x0 = jnp.asarray(rng.standard_normal((b, g, s, cin)), jnp.bfloat16)
+    model = Group2Emb(dim_model=d, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.key(0), x0.astype(jnp.float32), deterministic=True
+    )
+    wb = _wb_from(variables)
+    cot = jnp.asarray(rng.standard_normal((b, g, d)), jnp.float32)
+
+    def loss(x, wb, interp):
+        out, (mu0, var0, mu1, var1) = g2e_train.g2e_train_apply(
+            x, wb, s, interp
+        )
+        return jnp.sum(out.astype(jnp.float32) * cot), (mu0, var1)
+
+    (f_c, stats_c), g_c = jax.value_and_grad(
+        lambda x, wb: loss(x, wb, False), argnums=(0, 1), has_aux=True
+    )(x0, wb)
+    (f_i, stats_i), g_i = jax.value_and_grad(
+        lambda x, wb: loss(x, wb, True), argnums=(0, 1), has_aux=True
+    )(x0, wb)
+
+    np.testing.assert_allclose(f_c, f_i, rtol=2e-2)
+    for a, b_ in zip(stats_c, stats_i):
+        np.testing.assert_allclose(a, b_, rtol=1e-2, atol=1e-3)
+    for got, want in zip(
+        jax.tree_util.tree_leaves((g_c,)),
+        jax.tree_util.tree_leaves((g_i,)),
+    ):
+        got = np.asarray(got, np.float32)
+        want = np.asarray(want, np.float32)
+        denom = max(1e-3, float(np.abs(want).max()))
+        assert float(np.abs(got - want).max()) / denom < 5e-2
