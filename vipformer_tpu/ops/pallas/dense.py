@@ -66,11 +66,14 @@ def _pick_block_rows(r: int, cin: int, cout: int, itemsize: int) -> int:
     return 0
 
 
-def dense_grads_pallas(x2d: Array, dy2d: Array) -> tuple[Array, Array]:
+def dense_grads_pallas(
+    x2d: Array, dy2d: Array, interpret: bool = False
+) -> tuple[Array, Array]:
     """x2d [R, Cin], dy2d [R, Cout] -> (dW f32 [Cin, Cout], db f32 [Cout])."""
     r, cin = x2d.shape
     _, cout = dy2d.shape
     br = _pick_block_rows(r, cin, cout, x2d.dtype.itemsize)
+    ms = pl.ANY if interpret else pltpu.VMEM
     dw, db = pl.pallas_call(
         _grad_kernel,
         out_shape=(
@@ -79,17 +82,14 @@ def dense_grads_pallas(x2d: Array, dy2d: Array) -> tuple[Array, Array]:
         ),
         grid=(r // br,),
         in_specs=[
-            pl.BlockSpec((br, cin), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((br, cout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, cin), lambda i: (i, 0), memory_space=ms),
+            pl.BlockSpec((br, cout), lambda i: (i, 0), memory_space=ms),
         ],
         out_specs=(
-            pl.BlockSpec((cin, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cout), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, cout), lambda i: (0, 0), memory_space=ms),
+            pl.BlockSpec((1, cout), lambda i: (0, 0), memory_space=ms),
         ),
+        interpret=interpret,
     )(x2d, dy2d)
     return dw, db[0]
 
