@@ -207,45 +207,72 @@ def test_pretrain_step_equivalent_with_fused_g2e(rng, monkeypatch):
     jax.default_backend() != "tpu",
     reason="compiled-Mosaic validation needs the real chip",
 )
-def test_compiled_matches_interpret_on_tpu():
-    """Compiled (Mosaic) kernel vs interpret mode at flagship dims in
-    bf16: fwd values and grads. Guards against TPU-only lowering bugs the
-    CPU interpret suite cannot see (r3 caught an invalid i1-mask relayout
-    and unsupported bf16 compares only on hardware)."""
+def test_compiled_matches_flax_on_tpu():
+    """Compiled (Mosaic) kernel vs the flax XLA path at flagship dims on
+    the chip. Guards against TPU-only lowering bugs the CPU interpret
+    suite cannot see (r3 caught an invalid i1-mask relayout and
+    unsupported bf16 compares only on hardware). Grads compare in f32
+    (bf16 maxpool ties route different-but-valid subgradients); forward
+    also checks bf16. Interpret mode is NOT used as the on-chip baseline:
+    its emulation compiles pathologically slowly over the remote backend."""
     rng = np.random.default_rng(11)
     b, g, s, cin, d = 6, 64, 32, 3, 256
-    x0 = jnp.asarray(rng.standard_normal((b, g, s, cin)), jnp.bfloat16)
-    model = Group2Emb(dim_model=d, dtype=jnp.bfloat16)
-    variables = model.init(
-        jax.random.key(0), x0.astype(jnp.float32), deterministic=True
-    )
+    x32 = jnp.asarray(rng.standard_normal((b, g, s, cin)), jnp.float32)
+    model = Group2Emb(dim_model=d)
+    variables = model.init(jax.random.key(0), x32, deterministic=True)
     wb = _wb_from(variables)
     cot = jnp.asarray(rng.standard_normal((b, g, d)), jnp.float32)
 
-    def loss(x, wb, interp):
-        out, (mu0, var0, mu1, var1) = g2e_train.g2e_train_apply(
-            x, wb, s, interp
+    def fused_loss(x, wb):
+        out, _ = g2e_train.g2e_train_apply(x, wb, s, False)
+        return jnp.sum(out.astype(jnp.float32) * cot)
+
+    def ref_loss(x, params):
+        out, _ = model.apply(
+            {**variables, "params": params}, x,
+            deterministic=False, mutable=["batch_stats"],
         )
-        return jnp.sum(out.astype(jnp.float32) * cot), (mu0, var1)
+        return jnp.sum(out.astype(jnp.float32) * cot)
 
-    (f_c, stats_c), g_c = jax.value_and_grad(
-        lambda x, wb: loss(x, wb, False), argnums=(0, 1), has_aux=True
-    )(x0, wb)
-    (f_i, stats_i), g_i = jax.value_and_grad(
-        lambda x, wb: loss(x, wb, True), argnums=(0, 1), has_aux=True
-    )(x0, wb)
+    (f_c, (gx_c, gw_c)) = jax.jit(jax.value_and_grad(
+        fused_loss, argnums=(0, 1)
+    ))(x32, wb)
+    (f_r, (gx_r, gp_r)) = jax.jit(jax.value_and_grad(
+        ref_loss, argnums=(0, 1)
+    ))(x32, variables["params"])
 
-    np.testing.assert_allclose(f_c, f_i, rtol=2e-2)
-    for a, b_ in zip(stats_c, stats_i):
-        np.testing.assert_allclose(a, b_, rtol=1e-2, atol=1e-3)
-    for got, want in zip(
-        jax.tree_util.tree_leaves((g_c,)),
-        jax.tree_util.tree_leaves((g_i,)),
-    ):
-        got = np.asarray(got, np.float32)
-        want = np.asarray(want, np.float32)
-        denom = max(1e-3, float(np.abs(want).max()))
-        assert float(np.abs(got - want).max()) / denom < 5e-2
+    # TPU default f32 matmul runs bf16 passes; compare at that noise level
+    np.testing.assert_allclose(float(f_c), float(f_r), rtol=2e-2)
+    denom = float(jnp.abs(gx_r).max())
+    assert float(jnp.abs(gx_c - gx_r).max()) / max(denom, 1e-3) < 5e-2
+    names = [
+        ("Dense_0", "kernel"), ("Dense_0", "bias"),
+        ("BatchNorm_0", "scale"), ("BatchNorm_0", "bias"),
+        ("Dense_1", "kernel"), ("Dense_1", "bias"),
+        ("Dense_2", "kernel"), ("Dense_2", "bias"),
+        ("BatchNorm_1", "scale"), ("BatchNorm_1", "bias"),
+        ("Dense_3", "kernel"), ("Dense_3", "bias"),
+    ]
+    for got, (mod, leaf) in zip(gw_c, names):
+        want = gp_r[mod][leaf]
+        dn = max(float(jnp.abs(want).max()), 1e-3)
+        rel = float(jnp.abs(got - want).max()) / dn
+        assert rel < 5e-2, (mod, leaf, rel)
+
+    # bf16 forward parity (the production pretrain dtype)
+    xb = x32.astype(jnp.bfloat16)
+    out_c, stats_c = jax.jit(
+        lambda x: g2e_train.g2e_train_apply(x, wb, s, False)
+    )(xb)
+    out_r = jax.jit(
+        lambda x: model.apply(
+            variables, x, deterministic=False, mutable=["batch_stats"]
+        )[0]
+    )(xb)
+    df = float(
+        jnp.abs(out_c.astype(jnp.float32) - out_r.astype(jnp.float32)).max()
+    )
+    assert df / max(float(jnp.abs(out_r).max()), 1e-3) < 3e-2, df
 
 
 @pytest.mark.parametrize(

@@ -80,11 +80,19 @@ USE_G2E_TRAIN: bool | None = None
 _BN_EPS = 1e-5
 
 
+# Explicit DEFAULT precision on every kernel dot: the kernel's contract is
+# one native MXU pass with f32 accumulation (matching nn.layers.Dense at
+# compute dtype). Under jax_default_matmul_precision="highest" (e.g. the
+# test suite's conftest) Mosaic would otherwise be asked for a multi-pass
+# bf16 dot it cannot lower ("Bad lhs type").
+_PREC = jax.lax.Precision.DEFAULT
+
+
 def _dense(x, w_ref, b_ref, dt):
     """nn.layers.Dense numerics: f32-accum matmul -> cast -> + bias."""
     y = jax.lax.dot_general(
         x, w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_PREC,
     ).astype(dt)
     return y + b_ref[...][0]
 
@@ -93,7 +101,7 @@ def _dense_t(dy, w_ref):
     """dx = dy @ W^T in f32."""
     return jax.lax.dot_general(
         dy, w_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_PREC,
     )
 
 
@@ -101,7 +109,7 @@ def _acc_dw(acc_ref, x, dy):
     """acc += x^T dy (f32)."""
     acc_ref[...] += jax.lax.dot_general(
         x, dy, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=_PREC,
     )
 
 
