@@ -1,10 +1,14 @@
 """Auxiliary subsystem tests: FLOPs reporting, device prefetch, profiling,
 constants parity."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_complexity_report():
@@ -74,3 +78,45 @@ def test_constants_parity():
     assert C.CATEGORY2LABEL["ceiling"] == 0
     assert C.LABEL2CATEGORY[12] == "clutter"
     assert abs(sum(C.S3DIS_OBJ_WEIGHTS) - 1.0) < 0.01
+
+
+def test_run_queue_retry_and_resume(tmp_path):
+    """tools/run_queue.py (the in-repo pueue equivalent): runs jobs in
+    order, retries failures, and --resume skips completed jobs."""
+    import json
+    import subprocess
+    import sys
+
+    tool = os.path.join(REPO, "tools", "run_queue.py")
+    marker = tmp_path / "ran_ok"
+    flaky = tmp_path / "flaky_state"
+    # job 1 touches a marker; job 2 fails on the first attempt and
+    # succeeds on the retry (state file based)
+    job1 = f'{sys.executable} -c "open(r\'{marker}\', \'w\').write(\'x\')"'
+    job2 = (
+        f'{sys.executable} -c "import os,sys; p=r\'{flaky}\'; '
+        f"sys.exit(0) if os.path.exists(p) else "
+        f'(open(p,\'w\').write(\'1\'), sys.exit(3))[1]"'
+    )
+    state = tmp_path / "queue_state.json"
+    logs = tmp_path / "logs"
+    rc = subprocess.run(
+        [sys.executable, tool, job1, job2, "--retries", "1",
+         "--state", str(state), "--log_dir", str(logs)],
+        capture_output=True, text=True,
+    )
+    assert rc.returncode == 0, rc.stdout + rc.stderr
+    assert marker.exists()
+    js = json.load(open(state))
+    assert [j["status"] for j in js["jobs"]] == ["done", "done"]
+    assert js["jobs"][1]["attempts"] == 2  # failed once, retried
+
+    # resume: everything already done -> no job re-runs (marker untouched)
+    marker.unlink()
+    rc2 = subprocess.run(
+        [sys.executable, tool, "--resume", "--state", str(state),
+         "--log_dir", str(logs)],
+        capture_output=True, text=True,
+    )
+    assert rc2.returncode == 0
+    assert not marker.exists()
