@@ -69,7 +69,7 @@ def run_phase(label, overrides, timeout_s=None):
     return proc.returncode
 
 
-def analyze(epochs, step_size):
+def analyze(epochs, step_size, art_name="soak_r3"):
     run_root = os.path.join(RUN_DIR, PROJ, EXP)
     metrics_path = os.path.join(run_root, "metrics.jsonl")
     rows = [json.loads(l) for l in open(metrics_path)]
@@ -124,7 +124,7 @@ def analyze(epochs, step_size):
     ok &= report["probe_improved"]
 
     report["ok"] = bool(ok)
-    art = os.path.join(REPO, "artifacts", "soak_r3")
+    art = os.path.join(REPO, "artifacts", art_name)
     os.makedirs(art, exist_ok=True)
     shutil.copy(metrics_path, os.path.join(art, "metrics.jsonl"))
     for f in os.listdir(run_root):
@@ -179,7 +179,9 @@ def main():
         if rc != 0:
             print("resume phase FAILED", file=sys.stderr)
             sys.exit(2)
-    sys.exit(0 if analyze(args.epochs, args.step_size) else 1)
+    # smoke runs must not clobber the archived real-run artifacts
+    art_name = "soak_smoke" if args.smoke else "soak_r3"
+    sys.exit(0 if analyze(args.epochs, args.step_size, art_name) else 1)
 
 
 if __name__ == "__main__":
