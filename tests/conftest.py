@@ -46,3 +46,16 @@ def rng():
 @pytest.fixture
 def key():
     return jax.random.key(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_mesh():
+    """Clear the shard_map kernel-dispatch mesh registry after each test.
+
+    `parallel.make_mesh` registers the mesh process-globally (production
+    CLIs build exactly one); without this reset a test that builds a mesh
+    would leak multi-device kernel dispatch into every later test."""
+    yield
+    from vipformer_tpu.ops.pallas import shard
+
+    shard.register_mesh(None)

@@ -368,16 +368,12 @@ def test_dense_apply_custom_vjp_matches_autodiff(rng):
 
     gx_r, gw_r, gb_r = jax.grad(ref, argnums=(0, 1, 2))(x, w, b)
 
-    # route the backward through the kernel in interpret mode
-    orig = dense_mod.dense_grads_pallas
-    dense_mod.dense_grads_pallas = lambda a, d: orig(a, d, interpret=True)
-    try:
-        def fused(x, w, b):
-            return jnp.sum(dense_mod.dense_apply(x, w, b) * cot)
+    # off-TPU the call site routes the backward kernel through interpret
+    # mode automatically (ops/pallas/dense.py _dense_bwd)
+    def fused(x, w, b):
+        return jnp.sum(dense_mod.dense_apply(x, w, b) * cot)
 
-        gx_f, gw_f, gb_f = jax.grad(fused, argnums=(0, 1, 2))(x, w, b)
-    finally:
-        dense_mod.dense_grads_pallas = orig
+    gx_f, gw_f, gb_f = jax.grad(fused, argnums=(0, 1, 2))(x, w, b)
 
     np.testing.assert_allclose(gx_f, gx_r, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(gw_f, gw_r, rtol=2e-5, atol=2e-4)

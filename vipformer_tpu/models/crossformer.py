@@ -206,6 +206,7 @@ class _PointPatchStem(nn.Module):
                 self.get_variable("params", "group2emb"),
                 self.get_variable("batch_stats", "group2emb"),
                 pts, centers, idx, dt,
+                interpret=jax.default_backend() != "tpu",
             )
         else:
             neighbors, centers = divide_patches(

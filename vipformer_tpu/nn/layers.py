@@ -198,7 +198,8 @@ class MultiHeadAttention(nn.Module):
             else:
                 seed = jnp.zeros((1,), jnp.int32)
             o = flash_attention_train(
-                q, k, v, seed, h, scale, float(self.dropout)
+                q, k, v, seed, h, scale, float(self.dropout),
+                None, jax.default_backend() != "tpu",  # interpret on CPU
             )
             return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
 
@@ -209,8 +210,18 @@ class MultiHeadAttention(nn.Module):
             # heads split inside the kernel: q/k/v stay in the projections'
             # [B, N, H*C] layout, so no relayout copies materialize in front
             # of the pallas call (measured 2 x 0.64 ms at flagship shapes,
-            # which ate the head-split kernel's entire win)
-            o = fused_attention_packed(q, k, v, num_heads=h, scale=scale)
+            # which ate the head-split kernel's entire win). On a
+            # multi-device mesh the kernel runs under shard_map — batch
+            # over data, whole heads over model (ops/pallas/shard.py)
+            from vipformer_tpu.ops.pallas.shard import attention_sharded_call
+
+            o = attention_sharded_call(
+                lambda a, b, c, hh: fused_attention_packed(
+                    a, b, c, num_heads=hh, scale=scale,
+                    interpret=jax.default_backend() != "tpu",
+                ),
+                q, k, v, num_heads=h,
+            )
             return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
 
         from vipformer_tpu.ops.pallas.attention import (
@@ -225,8 +236,14 @@ class MultiHeadAttention(nn.Module):
             # small-M eval self-attention: batch-blocked so the launch isn't
             # per-row, scores stay in VMEM (the XLA path's [B, H, G, M] f32
             # scores are what made eval throughput non-monotone in batch)
-            o = fused_attention_packed_small(
-                q, k, v, num_heads=h, scale=scale
+            from vipformer_tpu.ops.pallas.shard import attention_sharded_call
+
+            o = attention_sharded_call(
+                lambda a, b, c, hh: fused_attention_packed_small(
+                    a, b, c, num_heads=hh, scale=scale,
+                    interpret=jax.default_backend() != "tpu",
+                ),
+                q, k, v, num_heads=h,
             )
             return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
 

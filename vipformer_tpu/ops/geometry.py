@@ -72,7 +72,9 @@ def index_points(points: Array, idx: Array) -> Array:
     )
 
     if mxu_gather_enabled(points, flat_idx.shape[1]):
-        out = gather_rows_pallas(points, flat_idx)
+        out = gather_rows_pallas(
+            points, flat_idx, 8, jax.default_backend() != "tpu"
+        )
     else:
         out = jnp.take_along_axis(points, flat_idx[:, :, None], axis=1)
     return out.reshape(*idx.shape, C)
@@ -106,19 +108,22 @@ def knn(k: int, points: Array, queries: Array, method: str | None = None) -> Arr
     agree to ~2^-(23-log2 N) relative get ordered by index instead of
     distance — below f32 noise for these workloads, and deterministic.
     """
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
-
     method = method or KNN_METHOD
     if method is None:
-        method = (
-            "pallas"
-            if jax.default_backend() == "tpu" and not tp_kernels_disabled()
-            else "exact"
-        )
+        method = "pallas" if jax.default_backend() == "tpu" else "exact"
     if method == "pallas":
         from vipformer_tpu.ops.pallas.knn import knn_pallas
+        from vipformer_tpu.ops.pallas.shard import data_sharded_call
 
-        return knn_pallas(k, points[..., :3], queries[..., :3])
+        # xyz operands are batch-sharded only (never feature-sharded, even
+        # under TP), so the kernel runs per data shard on any mesh
+        interp = jax.default_backend() != "tpu"
+        return data_sharded_call(
+            lambda p, q: knn_pallas(k, p, q, interpret=interp),
+            (points[..., :3], queries[..., :3]),
+            (True, True),
+            True,
+        )
     d = square_distance(queries, points)
     if method == "exact":
         _, idx = jax.lax.top_k(-d, k)
@@ -139,10 +144,6 @@ USE_PALLAS_FPS: bool | None = None
 
 
 def _pallas_fps_enabled() -> bool:
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
-
-    if tp_kernels_disabled():
-        return False
     if USE_PALLAS_FPS is not None:
         return USE_PALLAS_FPS
     return jax.default_backend() == "tpu"
@@ -179,8 +180,17 @@ def farthest_point_sample(
 
     if _pallas_fps_enabled():
         from vipformer_tpu.ops.pallas.fps import fps_pallas
+        from vipformer_tpu.ops.pallas.shard import data_sharded_call
 
-        return fps_pallas(xyz, npoint, farthest0)
+        return data_sharded_call(
+            lambda x, f0: fps_pallas(
+                x, npoint, f0,
+                interpret=jax.default_backend() != "tpu",
+            ),
+            (xyz, farthest0),
+            (True, True),
+            True,
+        )
 
     centroids0 = jnp.zeros((B, npoint), dtype=jnp.int32)
     distance0 = jnp.full((B, N), 1e10, dtype=jnp.float32)

@@ -1,38 +1,48 @@
+from vipformer_tpu.ops.pallas import shard
 from vipformer_tpu.ops.pallas.fps import fps_pallas
 
 # ---------------------------------------------------------------------------
-# tensor-parallel kernel gate
+# multi-device kernel dispatch
 #
-# The Pallas kernels consume packed [B, N, H*dh] (or [B, G, S, C]) operands
-# whole; under a mesh with model_axis > 1 those operands are TP-sharded on
-# the feature axis and a pallas_call has no SPMD partitioning rule — GSPMD
-# would either force an allgather-to-replicated in front of every kernel or
-# fail to lower. Until the kernels are shard_map'ed over heads, TP runs use
-# the XLA paths (which are sharding-aware); `make_mesh` flips this flag and
-# every *_enabled gate consults it. DP-only meshes keep the kernels on: the
-# batch axis is the kernels' own grid axis.
-
-_TP_ACTIVE = False
+# A pallas_call has no SPMD partitioning rule: under pjit/GSPMD with sharded
+# operands it either forces replication or fails abstract eval ("pallas_call
+# requires all mesh axes to be Manual", JAX 0.9). `parallel.make_mesh`
+# registers the active mesh with ops/pallas/shard.py and every kernel call
+# site runs under shard_map on multi-device meshes:
+#   * all kernels shard their batch rows over the data axis,
+#   * the packed attention kernels additionally split whole heads over the
+#     model axis (tensor parallelism),
+#   * kernels with replicated weight operands psum the weight grads / BN
+#     batch stats inside the wrapped backward (dense.py, g2e_train.py).
+# The one exception is the Dense dW/db kernel under model_axis > 1, whose
+# target activations are feature-sharded (Megatron layout) — it falls back
+# to XLA there (dense.dense_grad_enabled).
 
 
 def set_tp_kernel_gate(model_axis: int, log=None) -> None:
-    """Called by parallel.make_mesh; disables Pallas kernels for TP runs."""
-    global _TP_ACTIVE
-    active = model_axis > 1
-    if active and not _TP_ACTIVE and log is not None:
+    """Back-compat shim (pre-shard_map rounds disabled all kernels under
+    TP); kernel TP dispatch now keys off the registered mesh itself."""
+    if model_axis > 1 and log is not None:
         log(
-            "model_axis>1: Pallas kernels disabled for this run "
-            "(packed-layout kernels are unproven under tensor-parallel "
-            "sharding; XLA attention/gather paths are used instead)"
+            "model_axis>1: packed attention kernels run under shard_map "
+            "(whole heads per model shard); Dense dW/db kernel falls back "
+            "to XLA on feature-sharded activations"
         )
-    _TP_ACTIVE = active
 
 
 def tp_kernels_disabled() -> bool:
-    return _TP_ACTIVE
+    """True when a tensor-parallel mesh is registered. Kernels that can't
+    run on feature-sharded operands consult this; most kernels now run
+    under shard_map instead (see module docstring)."""
+    return shard.model_size() > 1
 
 
-__all__ = ["fps_pallas", "set_tp_kernel_gate", "tp_kernels_disabled"]
+__all__ = [
+    "fps_pallas",
+    "set_tp_kernel_gate",
+    "shard",
+    "tp_kernels_disabled",
+]
 
 
 import contextlib

@@ -102,9 +102,11 @@ def fused_attention(
 
 
 def fused_attention_enabled(pad_mask, dropout_rate, deterministic) -> bool:
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+    from vipformer_tpu.ops.pallas.shard import sharding_active
 
-    if tp_kernels_disabled():
+    if sharding_active():
+        # head-split [B, H, G, dh] layout has no shard_map wrapper (the
+        # packed kernels are the production path); keep it single-device
         return False
     if pad_mask is not None:
         return False
@@ -276,9 +278,12 @@ def packed_attention_enabled(
     copies). Small-M self-attention stays on XLA, which fuses those shapes
     well already.
     """
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+    from vipformer_tpu.ops.pallas.shard import (
+        sharding_active,
+        tp_heads_shardable,
+    )
 
-    if tp_kernels_disabled():
+    if sharding_active() and not tp_heads_shardable(num_heads, qk_ch):
         return False
     if pad_mask is not None or (dropout_rate > 0.0 and not deterministic):
         return False
@@ -383,9 +388,12 @@ def packed_small_attention_enabled(
     dropout_rate: float, deterministic: bool,
 ) -> bool:
     """Eval-mode gate for the batch-blocked small-M kernel."""
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+    from vipformer_tpu.ops.pallas.shard import (
+        sharding_active,
+        tp_heads_shardable,
+    )
 
-    if tp_kernels_disabled():
+    if sharding_active() and not tp_heads_shardable(num_heads, qk_ch):
         return False
     if pad_mask is not None or (dropout_rate > 0.0 and not deterministic):
         return False

@@ -95,12 +95,25 @@ def dense_grads_pallas(
 
 
 def dense_grad_enabled(r: int, cin: int, cout: int, itemsize: int) -> bool:
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
+    from vipformer_tpu.ops.pallas import shard
 
-    if tp_kernels_disabled():
+    if shard.model_size() > 1:
+        # under TP the encoder Denses this kernel targets have
+        # feature-sharded activations (Megatron layout); the XLA dW
+        # emitters handle those shardings, this kernel doesn't
         return False
+    if shard.sharding_active():
+        if r % shard.data_size():
+            return False
+        # per-shard row count is what the dispatch-overhead window and
+        # block picker see (the bwd runs under shard_map per data shard)
+        r = r // shard.data_size()
     if USE_DENSE_GRAD is not None:
-        return USE_DENSE_GRAD
+        # forced mode still needs a feasible row blocking (per shard)
+        return (
+            USE_DENSE_GRAD
+            and _pick_block_rows(r, cin, cout, itemsize) > 0
+        )
     if jax.default_backend() != "tpu":
         return False
     # Measured window (tools/profile_ops.py pretrain B=192, v5e):
@@ -150,9 +163,36 @@ def _dense_fwd(x, w, b):
 def _dense_bwd(res, dy):
     x, w, b = res
     dx = jnp.einsum("...j,ij->...i", dy, w, preferred_element_type=x.dtype)
-    dw, db = dense_grads_pallas(
-        x.reshape(-1, x.shape[-1]), dy.reshape(-1, dy.shape[-1])
-    )
+    x2 = x.reshape(-1, x.shape[-1])
+    dy2 = dy.reshape(-1, dy.shape[-1])
+
+    from vipformer_tpu.ops.pallas import shard
+
+    if shard.sharding_active() and x2.shape[0] % shard.data_size() == 0:
+        # per-data-shard row blocks; dW/db are sums over ALL rows, so the
+        # shard-local partials reduce with an explicit psum (the collective
+        # DDP's allreduce performed implicitly — here it is this one line)
+        from jax.sharding import PartitionSpec as P
+
+        da = shard.data_axis()
+
+        interp = jax.default_backend() != "tpu"
+
+        def f(xx, dd):
+            dwl, dbl = dense_grads_pallas(xx, dd, interpret=interp)
+            return jax.lax.psum(dwl, da), jax.lax.psum(dbl, da)
+
+        dw, db = jax.shard_map(
+            f,
+            mesh=shard.active_mesh(),
+            in_specs=(P(da, None), P(da, None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(x2, dy2)
+    else:
+        dw, db = dense_grads_pallas(
+            x2, dy2, interpret=jax.default_backend() != "tpu"
+        )
     dw = dw.astype(w.dtype)
     db = db.astype(b.dtype) if b is not None else None
     return dx, dw, db

@@ -326,6 +326,88 @@ def _bwd_call(q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
     return dq, dk, dv
 
 
+def _tp_layout(q, num_heads):
+    """shard_map layout for the packed [B, N, H*dh] operands, or None for
+    a direct (single-device) call. Returns (spec, lse_spec, local_heads,
+    seed_fn); seed_fn offsets the dropout stream per shard so masks
+    decorrelate across both mesh axes (fwd and bwd apply the SAME offset,
+    so the bwd regenerates identical masks — but note a sharded run's
+    masks differ from an unsharded run's at rate > 0)."""
+    from vipformer_tpu.ops.pallas import shard
+
+    if not shard.sharding_active():
+        return None
+    d, t = shard.data_size(), shard.model_size()
+    if q.shape[0] % d or num_heads % t or q.shape[-1] % t:
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    da, ma = shard.data_axis(), shard.model_axis()
+    spec = P(da, None, ma if t > 1 else None)
+    lse_spec = P(da, ma if t > 1 else None, None)
+
+    def seed_fn(seed):
+        off = jax.lax.axis_index(da) * t
+        if t > 1:
+            off = off + jax.lax.axis_index(ma)
+        return seed + off.astype(seed.dtype)
+
+    return spec, lse_spec, num_heads // t, seed_fn
+
+
+def _fwd_sharded(q, k, v, seed, num_heads, scale, rate, kv_chunk,
+                 interpret):
+    from vipformer_tpu.ops.pallas import shard
+
+    layout = _tp_layout(q, num_heads)
+    if layout is None:
+        return _fwd_call(
+            q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret
+        )
+    spec, lse_spec, local_h, seed_fn = layout
+    from jax.sharding import PartitionSpec as P
+
+    def f(qq, kk, vv, sd):
+        return _fwd_call(
+            qq, kk, vv, seed_fn(sd), local_h, scale, rate, kv_chunk,
+            interpret,
+        )
+
+    return jax.shard_map(
+        f, mesh=shard.active_mesh(),
+        in_specs=(spec, spec, spec, P()),
+        out_specs=(spec, lse_spec),
+        check_vma=False,
+    )(q, k, v, seed)
+
+
+def _bwd_sharded(q, k, v, do, o, lse, seed, num_heads, scale, rate,
+                 kv_chunk, interpret):
+    from vipformer_tpu.ops.pallas import shard
+
+    layout = _tp_layout(q, num_heads)
+    if layout is None:
+        return _bwd_call(
+            q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
+            interpret,
+        )
+    spec, lse_spec, local_h, seed_fn = layout
+    from jax.sharding import PartitionSpec as P
+
+    def f(qq, kk, vv, dd, oo, ll, sd):
+        return _bwd_call(
+            qq, kk, vv, dd, oo, ll, seed_fn(sd), local_h, scale, rate,
+            kv_chunk, interpret,
+        )
+
+    return jax.shard_map(
+        f, mesh=shard.active_mesh(),
+        in_specs=(spec, spec, spec, spec, spec, lse_spec, P()),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )(q, k, v, do, o, lse, seed)
+
+
 @partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8)
 )
@@ -346,14 +428,14 @@ def flash_attention_train(
     Gradients flow to q/k/v; the dropout mask is a pure function of
     (seed, cell, chunk, head order) and is identical in fwd and bwd.
     """
-    out, _ = _fwd_call(
+    out, _ = _fwd_sharded(
         q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret
     )
     return out
 
 
 def _vjp_fwd(q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret):
-    out, lse = _fwd_call(
+    out, lse = _fwd_sharded(
         q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret
     )
     return out, (q, k, v, out, lse, seed)
@@ -361,7 +443,7 @@ def _vjp_fwd(q, k, v, seed, num_heads, scale, rate, kv_chunk, interpret):
 
 def _vjp_bwd(num_heads, scale, rate, kv_chunk, interpret, res, do):
     q, k, v, o, lse, seed = res
-    dq, dk, dv = _bwd_call(
+    dq, dk, dv = _bwd_sharded(
         q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
         interpret,
     )
@@ -391,10 +473,16 @@ def flash_train_enabled(
     the eval gate there is no M >= 512 cutoff: at ANY M the win is not the
     matmul but never materializing scores/masks/rng in HBM.
     """
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
     from vipformer_tpu.ops.pallas.attention import USE_FUSED_ATTENTION
+    from vipformer_tpu.ops.pallas.shard import (
+        sharding_active,
+        tp_heads_shardable,
+    )
 
-    if tp_kernels_disabled():
+    if sharding_active() and not tp_heads_shardable(num_heads, qk_ch):
+        # heads don't divide the model axis: the packed feature shards
+        # would split mid-head — fall back to the XLA path (which GSPMD
+        # shards correctly, just without the VMEM fusion)
         return False
     if deterministic or pad_mask is not None:
         return False

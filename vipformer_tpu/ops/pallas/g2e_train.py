@@ -366,17 +366,26 @@ def _stats_from(s, ss, n):
 
 @partial(
     jax.jit,
-    static_argnames=("s", "interpret"),
+    static_argnames=("s", "interpret", "psum_axis", "global_rows"),
 )
-def _g2e_fwd_impl(x0f, wb, s: int, interpret: bool = False):
-    """x0f [R, Cin] (R = B*G*S, group-major) -> (out [R//s, D], caches)."""
+def _g2e_fwd_impl(x0f, wb, s: int, interpret: bool = False,
+                  psum_axis: str | None = None,
+                  global_rows: int | None = None):
+    """x0f [R, Cin] (R = B*G*S, group-major) -> (out [R//s, D], caches).
+
+    `psum_axis`: when running per-shard under shard_map, the BatchNorm
+    batch statistics must be GLOBAL (this framework's BN is sync-BN over
+    the data axis, nn/layers.py `batch_norm`) — the per-shard sum/sumsq
+    accumulators are psummed over that axis and `global_rows` (the full
+    batch's row count) is the divisor.
+    """
     (w0, b0, g0, be0, w1, b1, w2, b2, g1, be1, w3, b3) = wb
     r, cin = x0f.shape
     dt = x0f.dtype
     br = _pick_block_rows(r, s)
     grid = (r // br,)
     ms = pl.ANY if interpret else pltpu.VMEM
-    n = float(r)
+    n = float(global_rows if global_rows is not None else r)
     c1, c2, c3, d = (
         w0.shape[1], w1.shape[1], w2.shape[1], w3.shape[1]
     )
@@ -397,6 +406,9 @@ def _g2e_fwd_impl(x0f, wb, s: int, interpret: bool = False):
         out_specs=(_acc_spec((1, c1), ms), _acc_spec((1, c1), ms)),
         interpret=interpret,
     )(x0f, w0.astype(dt), _wrow(b0).astype(dt))
+    if psum_axis is not None:
+        s1 = jax.lax.psum(s1, psum_axis)
+        ss1 = jax.lax.psum(ss1, psum_axis)
     mu0, var0 = _stats_from(s1[0], ss1[0], n)
     rstd0 = jax.lax.rsqrt(var0 + _BN_EPS)
     a0 = g0.astype(f32) * rstd0
@@ -433,6 +445,9 @@ def _g2e_fwd_impl(x0f, wb, s: int, interpret: bool = False):
         w1.astype(dt), _wrow(b1).astype(dt),
         w2.astype(dt), _wrow(b2).astype(dt),
     )
+    if psum_axis is not None:
+        s2 = jax.lax.psum(s2, psum_axis)
+        ss2 = jax.lax.psum(ss2, psum_axis)
     mu1, var1 = _stats_from(s2[0], ss2[0], n)
     rstd1 = jax.lax.rsqrt(var1 + _BN_EPS)
     a1 = g1.astype(f32) * rstd1
@@ -464,9 +479,12 @@ def _g2e_fwd_impl(x0f, wb, s: int, interpret: bool = False):
     return out, h3p, amax, stats
 
 
-@partial(jax.jit, static_argnames=("s", "interpret"))
+@partial(
+    jax.jit, static_argnames=("s", "interpret", "psum_axis", "global_rows")
+)
 def _g2e_bwd_impl(x0f, wb, h3p, amax, stats, dyf, s: int,
-                  interpret: bool = False):
+                  interpret: bool = False, psum_axis: str | None = None,
+                  global_rows: int | None = None):
     (w0, b0, g0, be0, w1, b1, w2, b2, g1, be1, w3, b3) = wb
     (mu0, var0, rstd0, mu1, var1, rstd1) = stats
     r, cin = x0f.shape
@@ -475,7 +493,7 @@ def _g2e_bwd_impl(x0f, wb, h3p, amax, stats, dyf, s: int,
     grid = (r // br,)
     gb = br // s
     ms = pl.ANY if interpret else pltpu.VMEM
-    n = float(r)
+    n = float(global_rows if global_rows is not None else r)
     f32 = jnp.float32
     c1, c2, c3, d = (
         w0.shape[1], w1.shape[1], w2.shape[1], w3.shape[1]
@@ -515,6 +533,14 @@ def _g2e_bwd_impl(x0f, wb, h3p, amax, stats, dyf, s: int,
         h3p, dyf, amax, _wrow(a1), _wrow(c1_), w3.astype(dt),
         _wrow(mu1), _wrow(rstd1),
     )
+    if psum_axis is not None:
+        # weight grads and the BN-backward batch means are sums over ALL
+        # rows; reduce the shard-local partials before they feed the
+        # per-row dx math of the next pass
+        dw3 = jax.lax.psum(dw3, psum_axis)
+        db3 = jax.lax.psum(db3, psum_axis)
+        s1b = jax.lax.psum(s1b, psum_axis)
+        s2b = jax.lax.psum(s2b, psum_axis)
     g1m = g1.astype(f32) * rstd1  # gamma1 * rstd1
     m1b = s1b[0] / n
     m2b = s2b[0] / n
@@ -573,6 +599,13 @@ def _g2e_bwd_impl(x0f, wb, h3p, amax, stats, dyf, s: int,
         _wrow(g1m), _wrow(m1b), _wrow(m2b),
         _wrow(mu0), _wrow(rstd0),
     )
+    if psum_axis is not None:
+        dw2 = jax.lax.psum(dw2, psum_axis)
+        db2 = jax.lax.psum(db2, psum_axis)
+        dw1 = jax.lax.psum(dw1, psum_axis)
+        db1 = jax.lax.psum(db1, psum_axis)
+        s1a = jax.lax.psum(s1a, psum_axis)
+        s2a = jax.lax.psum(s2a, psum_axis)
     g0m = g0.astype(f32) * rstd0
     m1a = s1a[0] / n
     m2a = s2a[0] / n
@@ -607,6 +640,9 @@ def _g2e_bwd_impl(x0f, wb, h3p, amax, stats, dyf, s: int,
         _wrow(mu0), _wrow(rstd0), _wrow(g0m), _wrow(m1a), _wrow(m2a),
     )
 
+    if psum_axis is not None:
+        dw0 = jax.lax.psum(dw0, psum_axis)
+        db0 = jax.lax.psum(db0, psum_axis)
     # param grads: dgamma = sum(dy * xhat), dbeta = sum(dy); weight grads
     # cast to the param dtypes
     grads = (
@@ -623,6 +659,65 @@ def _g2e_bwd_impl(x0f, wb, h3p, amax, stats, dyf, s: int,
 # --------------------------------------------------------- public API
 
 
+def _g2e_fwd_sharded(x0f, wb, s, interpret):
+    """Per-data-shard forward under shard_map; BN stats psummed to global
+    (see `_g2e_fwd_impl`'s psum_axis). Direct call off-mesh."""
+    from vipformer_tpu.ops.pallas import shard
+
+    r = x0f.shape[0]
+    if not shard.sharding_active() or r % shard.data_size():
+        return _g2e_fwd_impl(x0f, wb, s=s, interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+
+    da = shard.data_axis()
+    row = P(da, None)
+
+    def f(xx, *wbt):
+        return _g2e_fwd_impl(
+            xx, tuple(wbt), s=s, interpret=interpret,
+            psum_axis=da, global_rows=r,
+        )
+
+    return jax.shard_map(
+        f, mesh=shard.active_mesh(),
+        in_specs=(row,) + (P(),) * len(wb),
+        out_specs=(row, row, row, tuple(P() for _ in range(6))),
+        check_vma=False,
+    )(x0f, *wb)
+
+
+def _g2e_bwd_sharded(x0f, wb, h3p, amax, stats, dyf, s, interpret):
+    """Per-data-shard backward; weight grads and BN-backward batch means
+    psummed inside (see `_g2e_bwd_impl`)."""
+    from vipformer_tpu.ops.pallas import shard
+
+    r = x0f.shape[0]
+    if not shard.sharding_active() or r % shard.data_size():
+        return _g2e_bwd_impl(
+            x0f, wb, h3p, amax, stats, dyf, s=s, interpret=interpret
+        )
+    from jax.sharding import PartitionSpec as P
+
+    da = shard.data_axis()
+    row = P(da, None)
+
+    nst = len(stats)
+
+    def f(xx, hh, aa, dd, *rest):
+        wbt, stt = rest[: len(wb)], rest[len(wb):]
+        return _g2e_bwd_impl(
+            xx, tuple(wbt), hh, aa, tuple(stt), dd, s=s,
+            interpret=interpret, psum_axis=da, global_rows=r,
+        )
+
+    return jax.shard_map(
+        f, mesh=shard.active_mesh(),
+        in_specs=(row, row, row, row) + (P(),) * (len(wb) + nst),
+        out_specs=(row, tuple(P() for _ in range(12))),
+        check_vma=False,
+    )(x0f, h3p, amax, dyf, *wb, *stats)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def g2e_train_apply(x0, wb, s: int, interpret: bool = False):
     """Fused train-mode Group2Emb.
@@ -634,8 +729,8 @@ def g2e_train_apply(x0, wb, s: int, interpret: bool = False):
     Returns (out [B, G, D], (mu0, var0, mu1, var1)) where the stats are
     the f32 batch statistics for the running-average update.
     """
-    out, _, _, stats = _g2e_fwd_impl(
-        x0.reshape(-1, x0.shape[-1]), wb, s=s, interpret=interpret
+    out, _, _, stats = _g2e_fwd_sharded(
+        x0.reshape(-1, x0.shape[-1]), wb, s, interpret
     )
     (mu0, var0, _, mu1, var1, _) = stats
     b, g = x0.shape[0], x0.shape[1]
@@ -649,7 +744,7 @@ def g2e_train_apply(x0, wb, s: int, interpret: bool = False):
 
 def _g2e_vjp_fwd(x0, wb, s, interpret):
     x0f = x0.reshape(-1, x0.shape[-1])
-    out, h3p, amax, stats = _g2e_fwd_impl(x0f, wb, s=s, interpret=interpret)
+    out, h3p, amax, stats = _g2e_fwd_sharded(x0f, wb, s, interpret)
     (mu0, var0, _, mu1, var1, _) = stats
     b, g = x0.shape[0], x0.shape[1]
     res = (x0f, wb, h3p, amax, stats, x0.shape)
@@ -665,8 +760,8 @@ def _g2e_vjp_bwd(s, interpret, res, cts):
     dy, _ = cts  # stats cotangents are zero (stop_gradient at use sites)
     x0f, wb, h3p, amax, stats, x0_shape = res
     dyf = dy.reshape(-1, dy.shape[-1]).astype(x0f.dtype)
-    dx0, grads = _g2e_bwd_impl(
-        x0f, wb, h3p, amax, stats, dyf, s=s, interpret=interpret
+    dx0, grads = _g2e_bwd_sharded(
+        x0f, wb, h3p, amax, stats, dyf, s, interpret
     )
     return dx0.reshape(x0_shape), grads
 
@@ -675,7 +770,14 @@ g2e_train_apply.defvjp(_g2e_vjp_fwd, _g2e_vjp_bwd)
 
 
 def g2e_train_supported(b: int, g: int, s: int, cin: int) -> bool:
-    """Shape gate: whole groups must tile into row blocks."""
+    """Shape gate: whole groups must tile into row blocks (per data shard
+    on a multi-device mesh — the kernel runs under shard_map there)."""
+    from vipformer_tpu.ops.pallas import shard
+
+    if shard.sharding_active():
+        if b % shard.data_size():
+            return False
+        b = b // shard.data_size()
     r = b * g * s
     br = _pick_block_rows(r, s)
     return (
@@ -688,10 +790,9 @@ def g2e_train_supported(b: int, g: int, s: int, cin: int) -> bool:
 
 
 def g2e_train_enabled() -> bool:
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
-
-    if tp_kernels_disabled():
-        return False
+    # no TP gate: the mini-PointNet operands (patch tables, stem weights)
+    # are never feature-sharded; the shard_map wrappers handle DP meshes
+    # with psummed weight grads / BN stats
     if USE_G2E_TRAIN is not None:
         return USE_G2E_TRAIN
     return jax.default_backend() == "tpu"

@@ -154,6 +154,19 @@ def _scatter_impl(g, idx, points_shape, dtype, rows, interpret):
     )(idx3, g4)
 
 
+def _gather_sharded(points, idx, rows, interpret):
+    # per-data-shard gather: each shard owns its own batch rows' table and
+    # indices (indices address within the sample, so no cross-shard reads)
+    from vipformer_tpu.ops.pallas.shard import data_sharded_call
+
+    return data_sharded_call(
+        lambda p, i: _gather_impl(p, i, rows, interpret),
+        (points, idx),
+        (True, True),
+        True,
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def gather_rows_pallas(
     points: Array,
@@ -162,11 +175,11 @@ def gather_rows_pallas(
     interpret: bool = False,
 ) -> Array:
     """points [B, N, C] (C <= 128), idx int [B, K] -> [B, K, C]."""
-    return _gather_impl(points, idx, rows, interpret)
+    return _gather_sharded(points, idx, rows, interpret)
 
 
 def _gather_fwd(points, idx, rows, interpret):
-    out = _gather_impl(points, idx, rows, interpret)
+    out = _gather_sharded(points, idx, rows, interpret)
     # points[:0]: zero-size carrier of the table's shape/dtype for bwd
     return out, (points[:0], idx)
 
@@ -174,9 +187,19 @@ def _gather_fwd(points, idx, rows, interpret):
 def _gather_bwd(rows, interpret, res, g):
     import numpy as np
 
+    from vipformer_tpu.ops.pallas.shard import data_sharded_call
+
     proto, idx = res
     shape = (idx.shape[0],) + proto.shape[1:]
-    d_points = _scatter_impl(g, idx, shape, proto.dtype, rows, interpret)
+    # cotangents are batch-sharded like the primals — no collective needed
+    d_points = data_sharded_call(
+        lambda gg, ii: _scatter_impl(
+            gg, ii, (gg.shape[0],) + shape[1:], proto.dtype, rows, interpret
+        ),
+        (g, idx),
+        (True, True),
+        True,
+    )
     return d_points, np.zeros(idx.shape, dtype=jax.dtypes.float0)
 
 
@@ -184,10 +207,8 @@ gather_rows_pallas.defvjp(_gather_fwd, _gather_bwd)
 
 
 def mxu_gather_enabled(points: Array, flat_k: int) -> bool:
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
-
-    if tp_kernels_disabled():
-        return False
+    # no TP gate: gather operands (xyz tables, inter-layer features) are
+    # batch-sharded only; shard.data_sharded_call runs it per data shard
     if USE_MXU_GATHER is not None:
         return USE_MXU_GATHER
     if jax.default_backend() != "tpu":

@@ -202,12 +202,22 @@ def group2emb_fused_apply(
     row_g = jnp.arange(g * s, dtype=jnp.int32) // s  # group of each row
     cidx = jnp.broadcast_to(n + row_g, (b, g * s))
 
-    return _stem_call(
-        t1ext, idx.reshape(b, g * s), cidx,
-        d1["kernel"].astype(dtype), d1["bias"].astype(dtype),
-        w3, b3,
-        d3["kernel"].astype(dtype), d3["bias"].astype(dtype),
-        num_groups=g, group_size=s, interpret=interpret,
+    from vipformer_tpu.ops.pallas.shard import data_sharded_call
+
+    # batch rows over the data axis, weights replicated (eval path: no AD,
+    # so replicated operands need no gradient collective)
+    return data_sharded_call(
+        lambda t, i, ci, *wb: _stem_call(
+            t, i, ci, *wb, num_groups=g, group_size=s, interpret=interpret
+        ),
+        (
+            t1ext, idx.reshape(b, g * s), cidx,
+            d1["kernel"].astype(dtype), d1["bias"].astype(dtype),
+            w3, b3,
+            d3["kernel"].astype(dtype), d3["bias"].astype(dtype),
+        ),
+        (True, True, True, False, False, False, False, False, False),
+        True,
     )
 
 
@@ -231,10 +241,8 @@ def fused_stem_supported(
 
 
 def fused_stem_enabled() -> bool:
-    from vipformer_tpu.ops.pallas import tp_kernels_disabled
-
-    if tp_kernels_disabled():
-        return False
+    # no TP gate: stem operands (point tables, mini-PointNet weights) are
+    # never feature-sharded; shard.data_sharded_call handles DP meshes
     if USE_FUSED_STEM is not None:
         return USE_FUSED_STEM
     return jax.default_backend() == "tpu"

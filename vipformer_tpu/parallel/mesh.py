@@ -69,18 +69,21 @@ def make_mesh(
     n = num_devices or len(devs)
     if n % model_axis:
         raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
-    # TP meshes run the XLA compute paths: the packed-layout Pallas kernels
-    # have no SPMD partitioning rule and would force replication (or fail
-    # to lower) on feature-sharded operands — see ops/pallas/__init__.py
+    # register the mesh with the kernel dispatch layer: pallas_call has no
+    # SPMD partitioning rule, so on multi-device meshes every kernel call
+    # site runs under shard_map (batch over data, attention heads over
+    # model) — see ops/pallas/shard.py
     import logging
 
-    from vipformer_tpu.ops.pallas import set_tp_kernel_gate
+    from vipformer_tpu.ops.pallas import set_tp_kernel_gate, shard
 
     set_tp_kernel_gate(
         model_axis, log=logging.getLogger("vipformer_tpu").warning
     )
     arr = np.array(devs[:n]).reshape(n // model_axis, model_axis)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    shard.register_mesh(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
