@@ -4,12 +4,14 @@ test:
 	python -m pytest tests/ -x -q
 
 # hardware-gated validation on the real chip (skipped in the CPU suite):
-# flash-train dropout parity + compiled-Mosaic Group2Emb parity.
-# scoped to the two files: collecting the whole suite imports every test
+# flash-train dropout parity, compiled-Mosaic Group2Emb parity, and the
+# compiled-kernels-under-shard_map suite (1x1 forced mesh).
+# scoped to these files: collecting the whole suite imports every test
 # module against the remote backend (~15 min of tunnel round-trips)
 test-tpu:
 	VIPFORMER_TEST_TPU=1 python -m pytest \
 	  tests/test_flash_train.py tests/test_g2e_train.py -q -k on_tpu
+	VIPFORMER_TEST_TPU=1 python -m pytest tests/test_shard_tpu.py -q
 
 bench:
 	python bench.py
