@@ -378,3 +378,125 @@ def test_dense_apply_custom_vjp_matches_autodiff(rng):
     np.testing.assert_allclose(gx_f, gx_r, rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(gw_f, gw_r, rtol=2e-5, atol=2e-4)
     np.testing.assert_allclose(gb_f, gb_r, rtol=2e-5, atol=2e-4)
+
+
+def test_layernorm_kernel_matches_flax(rng):
+    """Pallas LayerNorm (interpret): forward + custom-VJP grads vs
+    flax.linen.LayerNorm autodiff.  The kernel is OFF by default (it
+    measured slower than XLA's fused LN at every model site — see
+    ops/pallas/layernorm.py) but stays correct and forceable."""
+    import flax.linen as nn
+
+    import vipformer_tpu.ops.pallas.layernorm as pln
+
+    x = jnp.asarray(rng.standard_normal((2048, 256)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((2048, 256)), jnp.float32)
+    pv = {"params": {"scale": scale, "bias": bias}}
+    ref_mod = nn.LayerNorm(epsilon=1e-5)
+
+    def ref(p, x):
+        return jnp.sum(ref_mod.apply(p, x) * cot)
+
+    def fused(s, b, x):
+        return jnp.sum(pln.layernorm_apply(x, s, b) * cot)
+
+    y_ref = ref_mod.apply(pv, x)
+    gp_r, gx_r = jax.grad(ref, argnums=(0, 1))(pv, x)
+
+    pln.USE_LAYERNORM = True
+    try:
+        assert pln.layernorm_enabled(2048, 256, 4)
+        y = pln.layernorm_apply(x, scale, bias)
+        gs, gb, gx = jax.grad(fused, argnums=(0, 1, 2))(scale, bias, x)
+    finally:
+        pln.USE_LAYERNORM = None
+
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gx, gx_r, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        gs, gp_r["params"]["scale"], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        gb, gp_r["params"]["bias"], rtol=1e-4, atol=1e-3
+    )
+
+
+def test_layernorm_module_bit_matches_flax(rng):
+    """nn.layers.LayerNorm's inline path (the default) is op-for-op the
+    flax computation: bit-identical outputs and grads, identical param
+    tree, in f32 and bf16."""
+    import flax.linen as nn
+
+    from vipformer_tpu.nn.layers import layer_norm
+
+    scale = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+    pv = {"params": {"scale": scale, "bias": bias}}
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(rng.standard_normal((4, 32, 64)), dt)
+        ours = layer_norm(dt, name="n")
+        ref = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="n")
+        assert jax.tree_util.tree_structure(
+            ours.init(jax.random.key(0), x)
+        ) == jax.tree_util.tree_structure(ref.init(jax.random.key(0), x))
+        yo = ours.apply(pv, x)
+        yr = ref.apply(pv, x)
+        assert yo.dtype == yr.dtype
+        np.testing.assert_array_equal(
+            np.asarray(yo, np.float32), np.asarray(yr, np.float32)
+        )
+    # grads bit-match too (f32)
+    x = jnp.asarray(rng.standard_normal((4, 32, 64)), jnp.float32)
+    go = jax.grad(
+        lambda p: jnp.sum(jnp.sin(layer_norm(None, name="n").apply(p, x)))
+    )(pv)
+    gr = jax.grad(
+        lambda p: jnp.sum(
+            jnp.sin(nn.LayerNorm(epsilon=1e-5, name="n").apply(p, x))
+        )
+    )(pv)
+    for k in ("scale", "bias"):
+        np.testing.assert_array_equal(go["params"][k], gr["params"][k])
+
+
+def test_gelu_exact_erf_form_accuracy():
+    """gelu_exact (torch's erf form, f32) vs jax.nn.gelu(approximate=False)
+    evaluated in f64: the erf form must be at least as accurate as the
+    erfc form at f32, and within 2e-6 absolute of the true function."""
+    from vipformer_tpu.nn.layers import gelu_exact
+
+    from scipy.special import erf as np_erf
+
+    xn = np.linspace(-10, 10, 100_001)
+    oracle = 0.5 * xn * (1.0 + np_erf(xn / np.sqrt(2.0)))
+    ours = np.asarray(gelu_exact(jnp.asarray(xn, jnp.float32)), np.float64)
+    assert np.max(np.abs(ours - oracle)) < 2e-6
+    # bf16 path: upcasts internally, result dtype preserved
+    xb = jnp.asarray(xn, jnp.bfloat16)
+    yb = gelu_exact(xb)
+    assert yb.dtype == jnp.bfloat16
+    yb_ref = (
+        0.5
+        * xb.astype(jnp.float32)
+        * (1.0 + jax.lax.erf(xb.astype(jnp.float32) * 0.7071067811865476))
+    ).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(yb, np.float32), np.asarray(yb_ref, np.float32)
+    )
+
+
+def test_fps_pallas_return_centers(rng):
+    """return_centers banks the selected xyz from in-kernel registers;
+    must bit-match the gather it replaces, with identical indices."""
+    from vipformer_tpu.ops.pallas.fps import fps_pallas
+
+    xyz = jnp.asarray(rng.standard_normal((8, 256, 3)), jnp.float32)
+    idx0 = fps_pallas(xyz, 32, interpret=True)
+    idx1, centers = fps_pallas(
+        xyz, 32, interpret=True, return_centers=True
+    )
+    np.testing.assert_array_equal(idx0, idx1)
+    ref = jnp.take_along_axis(xyz, idx0[:, :, None], axis=1)
+    np.testing.assert_array_equal(centers, ref)

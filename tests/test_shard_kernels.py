@@ -211,3 +211,47 @@ def test_attention_sharded_call_tp_heads(rng, tp_mesh):
         )
     )(qs, ks, vs)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+
+def test_layernorm_sharded_psum(rng, dp_mesh):
+    """layernorm_apply under a DP mesh: per-shard fwd, and dscale/dbias
+    from per-shard column sums + psum; must equal flax LN autodiff."""
+    import flax.linen as nn
+
+    import vipformer_tpu.ops.pallas.layernorm as pln
+
+    x = jnp.asarray(rng.standard_normal((2048, 128)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((2048, 128)), jnp.float32)
+    pv = {"params": {"scale": scale, "bias": bias}}
+    ref_mod = nn.LayerNorm(epsilon=1e-5)
+    y_ref = ref_mod.apply(pv, x)
+    gp_r, gx_r = jax.grad(
+        lambda p, x: jnp.sum(ref_mod.apply(p, x) * cot), argnums=(0, 1)
+    )(pv, x)
+
+    pln.USE_LAYERNORM = True
+    try:
+        assert pln.layernorm_enabled(2048, 128, 4)
+        xs = _shard(dp_mesh, x)
+        y = jax.jit(pln.layernorm_apply)(xs, scale, bias)
+        gs, gb, gx = jax.jit(
+            jax.grad(
+                lambda s, b, x: jnp.sum(
+                    pln.layernorm_apply(x, s, b) * cot
+                ),
+                argnums=(0, 1, 2),
+            )
+        )(scale, bias, xs)
+    finally:
+        pln.USE_LAYERNORM = None
+
+    np.testing.assert_allclose(y, y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(gx, gx_r, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        gs, gp_r["params"]["scale"], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        gb, gp_r["params"]["bias"], rtol=1e-4, atol=1e-3
+    )

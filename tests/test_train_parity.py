@@ -458,9 +458,13 @@ def test_ft_cls_trajectory_parity_flagship_dims(ref, rng, pinned, optim):
     # per-coordinate rescaling amplifies f32 reduction-order noise
     # geometrically (~20x/step at these dims; SGD stays within 2e-3 over
     # all 10 steps, which rules out any semantic mismatch) — so the adam
-    # full-trajectory bound is chaos-sized, not bug-sized.
+    # full-trajectory bound is chaos-sized, not bug-sized.  (The bound was
+    # re-widened 5e-2 -> 1.2e-1 when gelu_exact switched to the erf form:
+    # |erf-form - erfc-form| <= 1.5e-6 in f32 — below the step-0/1 bounds,
+    # which still hold — but adam's chaos scales any epsilon to percents
+    # by step 10; SGD's 2e-3 over 10 steps is the semantic-parity pin.)
     np.testing.assert_allclose(ours[:2], theirs[:2], rtol=1e-3, atol=1e-4)
-    full_rtol = 5e-2 if optim == "adam" else 2e-3
+    full_rtol = 1.2e-1 if optim == "adam" else 2e-3
     np.testing.assert_allclose(ours, theirs, rtol=full_rtol, atol=2e-4)
 
     final_params, _ = _ft_params(tm)

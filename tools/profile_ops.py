@@ -239,12 +239,14 @@ def main():
     # the named kernel group for A/B reads of a kernel's in-model win
     off = os.environ.get("VIPFORMER_NO_PALLAS")
     if off:
-        from vipformer_tpu.ops.pallas import attention, dense
+        from vipformer_tpu.ops.pallas import attention, dense, layernorm
 
         if off in ("attention", "all"):
             attention.USE_FUSED_ATTENTION = False
         if off in ("dense", "all"):
             dense.USE_DENSE_GRAD = False
+        if off in ("layernorm", "all"):
+            layernorm.USE_LAYERNORM = False
     name = sys.argv[1] if len(sys.argv) > 1 else "cls"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     global _TOP

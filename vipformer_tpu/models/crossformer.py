@@ -194,13 +194,16 @@ class _PointPatchStem(nn.Module):
             # Group2Emb fused in VMEM; same weights, no [B, G, S, C]
             # neighbor tensor ever reaches HBM
             from vipformer_tpu.ops.geometry import (
-                farthest_point_sample, index_points, knn,
+                farthest_point_sample_with_centers, knn,
             )
 
-            center_idx = farthest_point_sample(
+            # centers come out of the FPS kernel's registers — the
+            # index_points gather this replaces is XLA's scalar gather on
+            # a minor-dim-3 array (69 us at B=128, superlinear 293 us at
+            # B=256 on v5e)
+            _, centers = farthest_point_sample_with_centers(
                 pts, self.num_latents, fps_key
             )
-            centers = index_points(pts, center_idx)
             idx = knn(self.group_size, pts[..., :3], centers[..., :3])
             group_embs = group2emb_fused_apply(
                 self.get_variable("params", "group2emb"),

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from vipformer_tpu.nn.layers import Dense, batch_norm, layer_norm
+from vipformer_tpu.nn.layers import Dense, batch_norm, gelu_exact, layer_norm
 from vipformer_tpu.ops.geometry import three_nn_interpolate
 
 Array = jax.Array
@@ -122,7 +122,7 @@ class PositionEmb(nn.Module):
     @nn.compact
     def __call__(self, centers: Array) -> Array:
         x = Dense(128, dtype=self.dtype)(centers)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu_exact(x)
         return Dense(self.dim_model, dtype=self.dtype)(x)
 
 
