@@ -186,7 +186,15 @@ def test_pretrain_step_equivalent_with_fused_g2e(rng, monkeypatch):
     ref_losses, ref_state = run()
     monkeypatch.setattr(g2e_train, "USE_G2E_TRAIN", True)
     got_losses, got_state = run()
-    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-4)
+    # Per-step bounds widen with AdamW's chaotic amplification (~30x/step
+    # here): the kernel's summation-order epsilon (~1e-7 rel at step 0,
+    # pinned elementwise in test_grads_match_flax_train_mode) compounds
+    # through ~lr*sign(m/sqrt(v)) updates. Measured [3e-7, 4.5e-5, 1.3e-3];
+    # bounds leave ~10x margin without becoming vacuous.
+    for i, (got, ref) in enumerate(zip(got_losses, ref_losses)):
+        np.testing.assert_allclose(
+            got, ref, rtol=(1e-5, 1e-3, 1.5e-2)[i], err_msg=f"step {i}"
+        )
     # Per-element param comparison is NOT meaningful after optimizer steps:
     # AdamW maps a gradient to ~lr*sign(m/sqrt(v)), so analytically-zero
     # grads (post-BN bias columns) whose f32 rounding noise merely flips
