@@ -226,6 +226,89 @@ def test_mxu_gather_grad_is_scatter_add(rng):
     np.testing.assert_allclose(g, g_ref, atol=1e-5)
 
 
+def test_centered_gather_matches_gather_then_sub(rng):
+    """Signed one-hot gather+centering == gather -> subtract center xyz
+    (the divide_patches documented-intent normalization), bit-exact in
+    f32, including extra uncentered channels."""
+    from vipformer_tpu.ops.pallas.gather import gather_rows_centered_pallas
+
+    b, n, g, s = 3, 64, 8, 16
+    for c in (3, 6):
+        pts = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+        centers = jnp.asarray(
+            rng.standard_normal((b, g, c)).astype(np.float32)
+        )
+        idx = jnp.asarray(
+            rng.integers(0, n, size=(b, g * s)).astype(np.int32)
+        )
+        nb = jnp.take_along_axis(pts, idx[:, :, None], axis=1).reshape(
+            b, g, s, c
+        )
+        delta = nb[..., :3] - centers[..., None, :3]
+        want = np.asarray(
+            jnp.concatenate([delta, nb[..., 3:]], axis=-1)
+        ).reshape(b, g * s, c)
+        got = np.asarray(
+            gather_rows_centered_pallas(
+                pts, centers, idx, s, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, want)
+
+
+def test_centered_gather_grads(rng):
+    """VJP: d_points is the (+) scatter-add, d_centers the (-S-fold) group
+    sum, matching autodiff through the unfused reference path."""
+    from vipformer_tpu.ops.pallas.gather import gather_rows_centered_pallas
+
+    b, n, g, s, c = 2, 32, 4, 32, 3
+    pts = jnp.asarray(rng.standard_normal((b, n, c)).astype(np.float32))
+    centers = jnp.asarray(rng.standard_normal((b, g, c)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n, size=(b, g * s)).astype(np.int32))
+    cot = jnp.asarray(
+        rng.standard_normal((b, g * s, c)).astype(np.float32)
+    )
+
+    def fused(p, cc):
+        out = gather_rows_centered_pallas(p, cc, idx, s, interpret=True)
+        return jnp.sum(out * cot)
+
+    def ref(p, cc):
+        nb = jnp.take_along_axis(p, idx[:, :, None], axis=1).reshape(
+            b, g, s, c
+        )
+        out = (nb - cc[:, :, None, :]).reshape(b, g * s, c)
+        return jnp.sum(out * cot)
+
+    gp, gc = jax.grad(fused, argnums=(0, 1))(pts, centers)
+    gp_r, gc_r = jax.grad(ref, argnums=(0, 1))(pts, centers)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gc_r), atol=1e-5)
+
+
+def test_divide_patches_fused_centered_path(rng):
+    """divide_patches with the fused kernel forced on == the XLA path,
+    for both 3- and 6-channel inputs (extra channels uncentered)."""
+    from vipformer_tpu.ops import geometry
+    from vipformer_tpu.ops.pallas import gather as gmod
+
+    for c in (3, 6):
+        pts = jnp.asarray(
+            rng.standard_normal((2, 256, c)).astype(np.float32)
+        )
+        want_nb, want_c = geometry.divide_patches(pts, 8, 16)
+        old = gmod.USE_MXU_GATHER
+        gmod.USE_MXU_GATHER = True
+        try:
+            got_nb, got_c = geometry.divide_patches(pts, 8, 16)
+        finally:
+            gmod.USE_MXU_GATHER = old
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+        np.testing.assert_allclose(
+            np.asarray(got_nb), np.asarray(want_nb), atol=1e-6
+        )
+
+
 def test_knn_pallas_matches_packed(rng):
     from vipformer_tpu.ops.geometry import knn
     from vipformer_tpu.ops.pallas.knn import knn_pallas

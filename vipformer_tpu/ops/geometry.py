@@ -313,6 +313,28 @@ def divide_patches(
     # consumer's compute dtype (values identical to gather-then-cast, and
     # exact for the MXU kernel at DEFAULT precision — see ops/pallas/gather)
     src = points.astype(neighbor_dtype) if neighbor_dtype else points
+
+    if not compat:
+        from vipformer_tpu.ops.pallas.gather import (
+            centered_gather_enabled,
+            gather_rows_centered_pallas,
+        )
+
+        if centered_gather_enabled(src, num_groups, group_size):
+            # fused gather+centering: the signed one-hot contraction emits
+            # points[idx] - center_xyz directly, skipping the separate
+            # broadcast+sub round trip over padded minor-dim-3 tiles
+            # (2.5 ms of the r3 train step at [384, 128, 32, 3])
+            b = src.shape[0]
+            flat = gather_rows_centered_pallas(
+                src, centers, idx.reshape(b, -1), group_size, 8,
+                jax.default_backend() != "tpu",
+            )
+            return (
+                flat.reshape(b, num_groups, group_size, src.shape[-1]),
+                centers,
+            )
+
     neighbors = index_points(src, idx)  # [B, G, S, C]
     c = centers.astype(neighbors.dtype)
     if compat:

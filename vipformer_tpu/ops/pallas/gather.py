@@ -206,6 +206,210 @@ def _gather_bwd(rows, interpret, res, g):
 gather_rows_pallas.defvjp(_gather_fwd, _gather_bwd)
 
 
+def _signed_onehot3(idx, cidx, n, dt):
+    """+1 at idx, -1 at cidx: one contraction yields t[p] - t[c]."""
+    rows = idx.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 128, n), 2)
+    return (iota == idx[:, :, None]).astype(dt) - (
+        iota == cidx[:, :, None]
+    ).astype(dt)
+
+
+def _gather_centered_kernel(idx_ref, cidx_ref, pts_ref, out_ref):
+    idx = idx_ref[0]  # [rows, 128] int32 neighbor rows
+    cidx = cidx_ref[0]  # [rows, 128] int32 center rows (>= N)
+    pts = pts_ref[0]  # [N + G, C]: points, then masked centers
+    onehot = _signed_onehot3(idx, cidx, pts.shape[0], pts.dtype)
+    out = jax.lax.dot_general(
+        onehot, pts, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(pts.dtype),
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _scatter_centered_kernel(idx_ref, cidx_ref, g_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    idx = idx_ref[0]
+    cidx = cidx_ref[0]
+    g = g_ref[0]  # [rows, 128, C]
+    onehot = _signed_onehot3(idx, cidx, out_ref.shape[1], g.dtype)
+    acc = jax.lax.dot_general(
+        onehot, g, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(g.dtype),
+    )  # [N + G, C]; center rows accumulate -dg via the signed transpose
+    out_ref[0] += acc.astype(out_ref.dtype)
+
+
+def _centered_impl(table, idx, cidx, rows, interpret):
+    b, next_, c = table.shape
+    k = idx.shape[1]
+    assert k % 128 == 0  # G*S for the patch stem; gate guarantees this
+    rows = _pick_rows(k // 128, rows)
+    idx3 = idx.astype(jnp.int32).reshape(b, k // 128, 128)
+    cidx3 = cidx.astype(jnp.int32).reshape(b, k // 128, 128)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    idx_spec = pl.BlockSpec(
+        (1, rows, 128), lambda i, j: (i, j, 0), memory_space=ms
+    )
+    out = pl.pallas_call(
+        _gather_centered_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, k // 128, 128, c), table.dtype),
+        grid=(b, k // 128 // rows),
+        in_specs=[
+            idx_spec,
+            idx_spec,
+            pl.BlockSpec((1, next_, c), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows, 128, c), lambda i, j: (i, j, 0, 0), memory_space=ms
+        ),
+        interpret=interpret,
+    )(idx3, cidx3, table)
+    return out.reshape(b, k, c)
+
+
+def _scatter_centered_impl(g, idx, cidx, next_, dtype, rows, interpret):
+    b, k, c = g.shape
+    rows = _pick_rows(k // 128, rows)
+    idx3 = idx.astype(jnp.int32).reshape(b, k // 128, 128)
+    cidx3 = cidx.astype(jnp.int32).reshape(b, k // 128, 128)
+    g4 = g.reshape(b, k // 128, 128, c)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    idx_spec = pl.BlockSpec(
+        (1, rows, 128), lambda i, j: (i, j, 0), memory_space=ms
+    )
+    return pl.pallas_call(
+        _scatter_centered_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, next_, c), dtype),
+        grid=(b, k // 128 // rows),
+        in_specs=[
+            idx_spec,
+            idx_spec,
+            pl.BlockSpec((1, rows, 128, c), lambda i, j: (i, j, 0, 0),
+                         memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, next_, c), lambda i, j: (i, 0, 0), memory_space=ms
+        ),
+        interpret=interpret,
+    )(idx3, cidx3, g4)
+
+
+def _centered_tables(points, centers):
+    """[B, N, C] + [B, G, Cc>=3] -> extended table [B, N+G, C] whose last G
+    rows hold the centers' xyz (zero in extra channels, which stay
+    uncentered per divide_patches' documented-intent normalization)."""
+    b, _, c = points.shape
+    g = centers.shape[1]
+    cz = centers[..., :3].astype(points.dtype)
+    if c > 3:
+        cz = jnp.concatenate(
+            [cz, jnp.zeros((b, g, c - 3), points.dtype)], axis=-1
+        )
+    return jnp.concatenate([points, cz], axis=1)
+
+
+def _centered_sharded(points, centers, idx, group_size, rows, interpret):
+    from vipformer_tpu.ops.pallas.shard import data_sharded_call
+
+    b, n, _ = points.shape
+    k = idx.shape[1]
+    table = _centered_tables(points, centers)
+    row_g = jnp.arange(k, dtype=jnp.int32) // group_size
+    cidx = jnp.broadcast_to(n + row_g, (b, k))
+    return data_sharded_call(
+        lambda t, i, ci: _centered_impl(t, i, ci, rows, interpret),
+        (table, idx, cidx),
+        (True, True, True),
+        True,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def gather_rows_centered_pallas(
+    points: Array,
+    centers: Array,
+    idx: Array,
+    group_size: int,
+    rows: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """points [B, N, C<=128], centers [B, G, Cc>=3], idx int [B, G*S] ->
+    [B, G*S, C] = points[idx] with the owning group's center xyz
+    subtracted from channels :3 (extra channels ride along uncentered).
+
+    One signed one-hot MXU contraction (+1 neighbor row, -1 center row
+    over an extended [N+G, C] table) replaces gather + broadcast + sub:
+    the r3 train profile shows the separate centering costs 2.5 ms at
+    [384, 128, 32, 3] because the padded minor-dim-3 tiles round-trip HBM
+    at 2.3% lane occupancy. Bit-exactness matches the separate path: f32
+    tables contract at HIGHEST (exact 1.0/-1.0 products, f32 accumulate =
+    the f32 subtract); bf16 tables accumulate the f32 difference of bf16
+    values and round once — the correctly-rounded bf16 subtract.
+    """
+    return _centered_sharded(points, centers, idx, group_size, rows,
+                             interpret)
+
+
+def _centered_fwd(points, centers, idx, group_size, rows, interpret):
+    out = _centered_sharded(points, centers, idx, group_size, rows,
+                            interpret)
+    return out, (points[:0], centers[:0], idx)
+
+
+def _centered_bwd(group_size, rows, interpret, res, g):
+    import numpy as np
+
+    from vipformer_tpu.ops.pallas.shard import data_sharded_call
+
+    p_proto, c_proto, idx = res
+    b, k = idx.shape
+    n = p_proto.shape[1]
+    gnum = c_proto.shape[1]
+    row_g = jnp.arange(k, dtype=jnp.int32) // group_size
+    cidx = jnp.broadcast_to(n + row_g, (b, k))
+    d_ext = data_sharded_call(
+        lambda gg, ii, ci: _scatter_centered_impl(
+            gg, ii, ci, n + gnum, p_proto.dtype, rows, interpret
+        ),
+        (g, idx, cidx),
+        (True, True, True),
+        True,
+    )
+    d_points = d_ext[:, :n]
+    d_c = d_ext[:, n:, :3]  # signed transpose already carries the -1
+    cc = c_proto.shape[-1]
+    if cc > 3:
+        d_c = jnp.concatenate(
+            [d_c, jnp.zeros((b, gnum, cc - 3), d_c.dtype)], axis=-1
+        )
+    return (
+        d_points,
+        d_c.astype(c_proto.dtype),
+        np.zeros(idx.shape, dtype=jax.dtypes.float0),
+    )
+
+
+gather_rows_centered_pallas.defvjp(_centered_fwd, _centered_bwd)
+
+
+def centered_gather_enabled(points: Array, num_groups: int,
+                            group_size: int) -> bool:
+    """Gate for the fused gather+center path in divide_patches."""
+    flat_k = num_groups * group_size
+    if flat_k % 128:
+        return False
+    return mxu_gather_enabled(points, flat_k)
+
+
 def mxu_gather_enabled(points: Array, flat_k: int) -> bool:
     # no TP gate: gather operands (xyz tables, inter-layer features) are
     # batch-sharded only; shard.data_sharded_call runs it per data shard
