@@ -226,6 +226,120 @@ def test_mxu_gather_grad_is_scatter_add(rng):
     np.testing.assert_allclose(g, g_ref, atol=1e-5)
 
 
+def test_packed_kv_attention_matches_separate_projections(rng):
+    """fused_attention_packed_kv == Dense-projected k/v through
+    fused_attention_packed, across chunked and single-chunk M."""
+    from vipformer_tpu.ops.pallas.attention import (
+        fused_attention_packed,
+        fused_attention_packed_kv,
+    )
+
+    b, g, m, d, din, h = 2, 16, 512, 64, 128, 4
+    q = jnp.asarray(rng.standard_normal((b, g, d)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((b, m, din)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((din, d)).astype(np.float32))
+    wv = jnp.asarray(rng.standard_normal((din, d)).astype(np.float32))
+    scale = (d // h) ** -0.5
+    want = np.asarray(
+        fused_attention_packed(
+            q, x @ wk, x @ wv, num_heads=h, scale=scale, interpret=True
+        )
+    )
+    for chunk in (None, 128):
+        got = np.asarray(
+            fused_attention_packed_kv(
+                q, x, wk, wv, num_heads=h, scale=scale, kv_chunk=chunk,
+                interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_mha_kv_fused_branch_matches_xla(rng):
+    """MultiHeadAttention routed through the kv-fused kernel == the plain
+    XLA attention path, same params, eval mode."""
+    import vipformer_tpu.ops.pallas.attention as attn_mod
+    from vipformer_tpu.nn.layers import MultiHeadAttention
+
+    b, g, m, d, h = 2, 8, 512, 64, 4
+    x_q = jnp.asarray(rng.standard_normal((b, g, d)).astype(np.float32))
+    x_kv = jnp.asarray(rng.standard_normal((b, m, 128)).astype(np.float32))
+    mha = MultiHeadAttention(num_heads=h, num_qk_channels=d)
+    variables = mha.init(jax.random.key(0), x_q, x_kv)
+    want = np.asarray(mha.apply(variables, x_q, x_kv, deterministic=True))
+    old = attn_mod.USE_FUSED_ATTENTION
+    attn_mod.USE_FUSED_ATTENTION = True
+    try:
+        assert attn_mod.packed_attention_kv_enabled(
+            h, d, d, m, 128, None, 0.0, True
+        )
+        got = np.asarray(
+            mha.apply(variables, x_q, x_kv, deterministic=True)
+        )
+    finally:
+        attn_mod.USE_FUSED_ATTENTION = old
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_kv_ln_attention_matches_module_chain(rng):
+    """fused_attention_packed_kv_ln == LayerNorm -> Dense k/v ->
+    fused_attention_packed, chunked and unchunked."""
+    import flax.linen as fnn
+
+    from vipformer_tpu.ops.pallas.attention import (
+        fused_attention_packed,
+        fused_attention_packed_kv_ln,
+    )
+
+    b, g, m, d, din, h = 2, 16, 512, 64, 128, 4
+    q = jnp.asarray(rng.standard_normal((b, g, d)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((b, m, din)).astype(np.float32))
+    lns = jnp.asarray(rng.standard_normal((din,)).astype(np.float32))
+    lnb = jnp.asarray(rng.standard_normal((din,)).astype(np.float32))
+    wk = jnp.asarray(rng.standard_normal((din, d)).astype(np.float32))
+    wv = jnp.asarray(rng.standard_normal((din, d)).astype(np.float32))
+    scale = (d // h) ** -0.5
+    xn = fnn.LayerNorm(epsilon=1e-5).apply(
+        {"params": {"scale": lns, "bias": lnb}}, x
+    )
+    want = np.asarray(
+        fused_attention_packed(
+            q, xn @ wk, xn @ wv, num_heads=h, scale=scale, interpret=True
+        )
+    )
+    for chunk in (None, 128):
+        got = np.asarray(
+            fused_attention_packed_kv_ln(
+                q, x, lns, lnb, wk, wv, num_heads=h, scale=scale,
+                kv_chunk=chunk, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_cross_attention_kv_fused_branch_matches_xla(rng):
+    """CrossAttention routed through the LN+kv-fused kernel == the module
+    path (LN modules + MHA), same params, eval mode."""
+    import vipformer_tpu.ops.pallas.attention as attn_mod
+    from vipformer_tpu.nn.layers import CrossAttention
+
+    b, g, m, d, h = 2, 8, 512, 64, 4
+    x_q = jnp.asarray(rng.standard_normal((b, g, d)).astype(np.float32))
+    x_kv = jnp.asarray(rng.standard_normal((b, m, 128)).astype(np.float32))
+    ca = CrossAttention(num_heads=h, num_qk_channels=d)
+    variables = ca.init(jax.random.key(0), x_q, x_kv)
+    want = np.asarray(ca.apply(variables, x_q, x_kv, deterministic=True))
+    old = attn_mod.USE_FUSED_ATTENTION
+    attn_mod.USE_FUSED_ATTENTION = True
+    try:
+        got = np.asarray(
+            ca.apply(variables, x_q, x_kv, deterministic=True)
+        )
+    finally:
+        attn_mod.USE_FUSED_ATTENTION = old
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
 def test_centered_gather_matches_gather_then_sub(rng):
     """Signed one-hot gather+centering == gather -> subtract center xyz
     (the divide_patches documented-intent normalization), bit-exact in

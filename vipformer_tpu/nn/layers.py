@@ -101,6 +101,18 @@ class Dense(nn.Module):
         return y
 
 
+def _apply_dense_params(x, kernel, bias, dtype):
+    """nn.layers.Dense's exact eval math on explicit params (used by the
+    kv-fused CrossAttention fast path, which bypasses the Dense modules
+    post-init): promote to the compute dtype, one f32-accumulated matmul
+    emitted at that dtype, bias added after the cast."""
+    x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
+    y = jnp.einsum("...i,ij->...j", x, kernel, preferred_element_type=x.dtype)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 class LayerNorm(nn.Module):
     """flax.linen.LayerNorm-equivalent (eps 1e-5, f32 fast-variance stats,
     param tree {scale, bias}) with an optional Pallas row-stream kernel.
@@ -229,14 +241,40 @@ class MultiHeadAttention(nn.Module):
         h = self.num_heads
         scale = (qk_ch // h) ** -0.5
 
+        from vipformer_tpu.ops.pallas.attention import (
+            fused_attention_packed,
+            fused_attention_packed_kv,
+            packed_attention_enabled,
+            packed_attention_kv_enabled,
+        )
+
+        if not self.is_initializing() and packed_attention_kv_enabled(
+            h, qk_ch, v_ch, x_kv.shape[1], x_kv.shape[-1], pad_mask,
+            self.dropout, deterministic,
+        ):
+            # eval fast path: k/v projected inside the attention kernel,
+            # chunk by chunk in VMEM — the [B, M, H*dh] k/v tensors (and
+            # XLA's batch-degraded LN+proj megafusions, see
+            # ops/pallas/attention.py) never exist in HBM. Same k_proj/
+            # v_proj weights a checkpoint restores; init still runs the
+            # Dense modules below so the param tree is unchanged.
+            q = Dense(
+                qk_ch, use_bias=False, dtype=self.dtype, name="q_proj"
+            )(x_q)
+            wk = self.get_variable("params", "k_proj")["kernel"]
+            wv = self.get_variable("params", "v_proj")["kernel"]
+            xk, wk, wv = nn.dtypes.promote_dtype(
+                x_kv, wk, wv, dtype=self.dtype
+            )
+            o = fused_attention_packed_kv(
+                q, xk, wk, wv, num_heads=h, scale=scale,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
+
         q = Dense(qk_ch, use_bias=False, dtype=self.dtype, name="q_proj")(x_q)
         k = Dense(qk_ch, use_bias=False, dtype=self.dtype, name="k_proj")(x_kv)
         v = Dense(v_ch, use_bias=False, dtype=self.dtype, name="v_proj")(x_kv)
-
-        from vipformer_tpu.ops.pallas.attention import (
-            fused_attention_packed,
-            packed_attention_enabled,
-        )
         from vipformer_tpu.ops.pallas.flash_train import (
             flash_attention_train,
             flash_train_enabled,
@@ -346,6 +384,45 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x_q, x_kv, pad_mask=None, deterministic=True):
+        from vipformer_tpu.ops.pallas.attention import (
+            fused_attention_packed_kv_ln,
+            packed_attention_kv_enabled,
+        )
+
+        qk_ch = self.num_qk_channels or x_q.shape[-1]
+        v_ch = self.num_v_channels or qk_ch
+        out_ch = self.num_output_channels or x_q.shape[-1]
+        if not self.is_initializing() and packed_attention_kv_enabled(
+            self.num_heads, qk_ch, v_ch, x_kv.shape[1], x_kv.shape[-1],
+            pad_mask, self.dropout, deterministic,
+        ):
+            # eval fast path: kv LayerNorm AND k/v projections run inside
+            # the flash kernel, chunk by chunk in VMEM — neither the
+            # normalized [B, M, D] tokens nor the k/v tensors exist in
+            # HBM (ops/pallas/attention.py — XLA's LN+proj megafusions
+            # degrade 1.8x per cloud at B=256). Same params the module
+            # path creates at init; q/o projections replicate
+            # nn.layers.Dense numerics exactly.
+            x_qn = layer_norm(self.dtype, name="q_norm")(x_q)
+            ap = self.get_variable("params", "attention")
+            kvn = self.get_variable("params", "kv_norm")
+            scale = (qk_ch // self.num_heads) ** -0.5
+            q = _apply_dense_params(
+                x_qn, ap["q_proj"]["kernel"], None, self.dtype
+            )
+            xk, wk, wv = nn.dtypes.promote_dtype(
+                x_kv, ap["k_proj"]["kernel"], ap["v_proj"]["kernel"],
+                dtype=self.dtype,
+            )
+            o = fused_attention_packed_kv_ln(
+                q, xk, kvn["scale"], kvn["bias"], wk, wv,
+                num_heads=self.num_heads, scale=scale,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return _apply_dense_params(
+                o, ap["o_proj"]["kernel"], ap["o_proj"]["bias"], self.dtype
+            )
+
         x_q = layer_norm(self.dtype, name="q_norm")(x_q)
         x_kv = layer_norm(self.dtype, name="kv_norm")(x_kv)
         return MultiHeadAttention(

@@ -261,6 +261,289 @@ def fused_attention_packed(
     return out
 
 
+def _packed_kv_kernel(scale, h, q_ref, x_ref, wk_ref, wv_ref, o_ref,
+                      acc_ref, m_ref, l_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [G, H*dh]
+    x = x_ref[0]  # [Mc, Din] raw kv tokens
+    dt = q.dtype
+    # in-VMEM kv projections (k_proj/v_proj are bias-free in this model
+    # family). Numerics match nn.layers.Dense: one f32-accumulated MXU
+    # pass rounded on emit; precision pinned DEFAULT so a global
+    # "highest" setting cannot request multi-pass bf16 dots Mosaic
+    # cannot lower (same guard as ops/pallas/g2e_train.py).
+    k = jax.lax.dot_general(
+        x, wk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(dt)  # [Mc, H*dh]
+    v = jax.lax.dot_general(
+        x, wv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(dt)
+    dh = q.shape[1] // h
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        q_h = q[:, sl].astype(jnp.float32)
+        k_h = k[:, sl].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [G, Mc]
+        m_prev = m_ref[head, :]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[:, None])
+        l_ref[head, :] = l_ref[head, :] * corr + jnp.sum(p, axis=-1)
+        m_ref[head, :] = m_new
+        pv = jnp.dot(
+            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        )
+        acc_ref[head] = acc_ref[head] * corr[:, None] + pv
+
+    @pl.when(j == nj - 1)
+    def _():
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            o_ref[0, :, sl] = (
+                acc_ref[head] / l_ref[head, :][:, None]
+            ).astype(o_ref.dtype)
+
+
+@partial(
+    jax.jit, static_argnames=("num_heads", "scale", "kv_chunk", "interpret")
+)
+def fused_attention_packed_kv(
+    q: Array,
+    x_kv: Array,
+    wk: Array,
+    wv: Array,
+    *,
+    num_heads: int,
+    scale: float,
+    kv_chunk: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """Flash attention with the k/v projections folded into the kernel.
+
+    q [B, G, H*dh], x_kv [B, M, Din], wk/wv [Din, H*dh] -> [B, G, H*dh].
+
+    Each kv chunk is projected in VMEM right before use, so the [B, M,
+    H*dh] k and v tensors never exist in HBM. This kills the r3 eval
+    profile's only superlinear-in-batch ops: at B=256 XLA's cost model
+    switches the LN+k/v-proj megafusions to a `XposeReuse` conv emitter
+    it itself prices 1.4x worse per FLOP (memory pressure), taking the
+    two projections from 154 to 86 TFLOP/s effective — 794 us/iter and
+    ~2x the whole B=128->256 per-cloud regression. Weights ride along
+    each grid cell (Din*D*2 bytes, 256 KB at flagship dims — VMEM-cheap
+    next to the kv chunk they replace).
+    """
+    b, g, d = q.shape
+    m = x_kv.shape[1]
+    mc = kv_chunk or _kv_chunk_for(m)
+    if m % mc:
+        raise ValueError(f"M={m} not divisible by kv chunk {mc}")
+    h = num_heads
+    dh = d // h
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    return pl.pallas_call(
+        partial(_packed_kv_kernel, float(scale), h),
+        out_shape=jax.ShapeDtypeStruct((b, g, d), q.dtype),
+        grid=(b, m // mc),
+        in_specs=[
+            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, x_kv.shape[2]), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec(wk.shape, lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec(wv.shape, lambda i, j: (0, 0), memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, d), lambda i, j: (i, 0, 0), memory_space=ms
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, g, dh), jnp.float32),
+            pltpu.VMEM((h, g), jnp.float32),
+            pltpu.VMEM((h, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, x_kv, wk, wv)
+
+
+def _packed_kv_ln_kernel(scale, h, q_ref, x_ref, lns_ref, lnb_ref,
+                         wk_ref, wv_ref, o_ref, acc_ref, m_ref, l_ref):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [G, H*dh]
+    dt = q.dtype
+    # in-VMEM LayerNorm of the raw kv chunk — rowwise, so chunk-local.
+    # Op-for-op the inline nn.layers.LayerNorm (f32 fast-variance stats,
+    # eps 1e-5, cast to compute dtype), which XLA otherwise materializes
+    # as a full [B, M, D] HBM tensor once the projections move in-kernel.
+    xf = x_ref[0].astype(jnp.float32)  # [Mc, Din]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    xn = (
+        (xf - mu) * (jax.lax.rsqrt(var + 1e-5) * lns_ref[0])
+        + lnb_ref[0]
+    ).astype(dt)
+    k = jax.lax.dot_general(
+        xn, wk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(dt)
+    v = jax.lax.dot_general(
+        xn, wv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(dt)
+    dh = q.shape[1] // h
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        q_h = q[:, sl].astype(jnp.float32)
+        k_h = k[:, sl].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m_prev = m_ref[head, :]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[:, None])
+        l_ref[head, :] = l_ref[head, :] * corr + jnp.sum(p, axis=-1)
+        m_ref[head, :] = m_new
+        pv = jnp.dot(
+            p.astype(v.dtype), v[:, sl], preferred_element_type=jnp.float32
+        )
+        acc_ref[head] = acc_ref[head] * corr[:, None] + pv
+
+    @pl.when(j == nj - 1)
+    def _():
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            o_ref[0, :, sl] = (
+                acc_ref[head] / l_ref[head, :][:, None]
+            ).astype(o_ref.dtype)
+
+
+@partial(
+    jax.jit, static_argnames=("num_heads", "scale", "kv_chunk", "interpret")
+)
+def fused_attention_packed_kv_ln(
+    q: Array,
+    x_kv: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    wk: Array,
+    wv: Array,
+    *,
+    num_heads: int,
+    scale: float,
+    kv_chunk: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """fused_attention_packed_kv with the kv LayerNorm folded in.
+
+    q [B, G, H*dh], x_kv [B, M, Din] RAW (pre-norm), ln_scale/ln_bias
+    [Din] f32, wk/wv [Din, H*dh] -> [B, G, H*dh]. Neither the normalized
+    tokens nor the k/v projections ever exist in HBM: measured at
+    flagship dims (B=256) the LN+proj chain is 775 us of XLA fusions
+    (two batch-degraded `XposeReuse` matmuls + a full [B, M, D] LN
+    materialization once the projections alone move in-kernel); here it
+    is VMEM work overlapping the attention recurrence.
+    """
+    b, g, d = q.shape
+    m = x_kv.shape[1]
+    mc = kv_chunk or _kv_chunk_for(m)
+    if m % mc:
+        raise ValueError(f"M={m} not divisible by kv chunk {mc}")
+    h = num_heads
+    dh = d // h
+    ms = pl.ANY if interpret else pltpu.VMEM
+
+    return pl.pallas_call(
+        partial(_packed_kv_ln_kernel, float(scale), h),
+        out_shape=jax.ShapeDtypeStruct((b, g, d), q.dtype),
+        grid=(b, m // mc),
+        in_specs=[
+            pl.BlockSpec((1, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, mc, x_kv.shape[2]), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, x_kv.shape[2]), lambda i, j: (0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, x_kv.shape[2]), lambda i, j: (0, 0),
+                         memory_space=ms),
+            pl.BlockSpec(wk.shape, lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec(wv.shape, lambda i, j: (0, 0), memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, g, d), lambda i, j: (i, 0, 0), memory_space=ms
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, g, dh), jnp.float32),
+            pltpu.VMEM((h, g), jnp.float32),
+            pltpu.VMEM((h, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        q, x_kv,
+        ln_scale.astype(jnp.float32).reshape(1, -1),
+        ln_bias.astype(jnp.float32).reshape(1, -1),
+        wk, wv,
+    )
+
+
+def packed_attention_kv_enabled(
+    num_heads: int,
+    qk_ch: int,
+    v_ch: int,
+    m: int,
+    d_in: int,
+    pad_mask,
+    dropout_rate: float,
+    deterministic: bool,
+) -> bool:
+    """Gate for the kv-projection-fused eval kernel.
+
+    Single-device only: under TP the Megatron layout shards wk/wv columns
+    by head groups, which the shard wrappers don't yet cover — those
+    meshes keep the separate-projection packed path.
+    """
+    from vipformer_tpu.ops.pallas.shard import sharding_active
+
+    if not deterministic:
+        # fwd-only kernel; this branch sits BEFORE the flash-train branch
+        # in MultiHeadAttention, so it must reject training itself
+        return False
+    if sharding_active():
+        return False
+    if not packed_attention_enabled(
+        num_heads, qk_ch, v_ch, m, pad_mask, dropout_rate, deterministic
+    ):
+        return False
+    # raw kv tokens must be lane-aligned and VMEM-friendly per chunk
+    return d_in % 128 == 0 and d_in <= 1024
+
+
 def packed_attention_enabled(
     num_heads: int,
     qk_ch: int,
