@@ -102,11 +102,25 @@ class Dense(nn.Module):
 
 
 def _apply_dense_params(x, kernel, bias, dtype):
-    """nn.layers.Dense's exact eval math on explicit params (used by the
-    kv-fused CrossAttention fast path, which bypasses the Dense modules
+    """nn.layers.Dense's exact math on explicit params (used by the
+    kv-fused CrossAttention fast paths, which bypass the Dense modules
     post-init): promote to the compute dtype, one f32-accumulated matmul
-    emitted at that dtype, bias added after the cast."""
+    emitted at that dtype, bias added after the cast; backward routes
+    (dW, db) through the Pallas row-stream kernel when the shape
+    qualifies, exactly like the module."""
+    from vipformer_tpu.ops.pallas.dense import (
+        dense_apply,
+        dense_grad_enabled,
+    )
+
     x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if dense_grad_enabled(
+        rows, kernel.shape[0], kernel.shape[1], x.dtype.itemsize
+    ):
+        return dense_apply(x, kernel, bias)
     y = jnp.einsum("...i,ij->...j", x, kernel, preferred_element_type=x.dtype)
     if bias is not None:
         y = y + bias
@@ -392,6 +406,53 @@ class CrossAttention(nn.Module):
         qk_ch = self.num_qk_channels or x_q.shape[-1]
         v_ch = self.num_v_channels or qk_ch
         out_ch = self.num_output_channels or x_q.shape[-1]
+
+        from vipformer_tpu.ops.pallas.flash_train import (
+            flash_attention_train_kv,
+            flash_train_kv_enabled,
+        )
+
+        if (
+            not self.is_initializing()
+            and flash_train_kv_enabled(
+                self.num_heads, qk_ch, v_ch, x_q.shape[1], x_kv.shape[1],
+                x_kv.shape[-1], pad_mask, deterministic,
+            )
+            and (self.dropout == 0.0 or self.has_rng("dropout"))
+        ):
+            # training fast path: kv LayerNorm + k/v projections folded
+            # into the flash fwd+bwd kernel. The backward emits ONE bf16
+            # dx array instead of two f32 [B, M, D] dk/dv arrays and
+            # accumulates dWk/dWv/dLN in VMEM across the grid (1.6 GB of
+            # HBM traffic gone at pretrain dims — ops/pallas/flash_train).
+            # Same params the module path creates at init.
+            x_qn = layer_norm(self.dtype, name="q_norm")(x_q)
+            ap = self.get_variable("params", "attention")
+            kvn = self.get_variable("params", "kv_norm")
+            scale = (qk_ch // self.num_heads) ** -0.5
+            q = _apply_dense_params(
+                x_qn, ap["q_proj"]["kernel"], None, self.dtype
+            )
+            xk, wk, wv = nn.dtypes.promote_dtype(
+                x_kv, ap["k_proj"]["kernel"], ap["v_proj"]["kernel"],
+                dtype=self.dtype,
+            )
+            if self.dropout > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            o = flash_attention_train_kv(
+                q, xk, kvn["scale"], kvn["bias"], wk, wv, seed,
+                self.num_heads, scale, float(self.dropout),
+                None, jax.default_backend() != "tpu",
+            )
+            return _apply_dense_params(
+                o, ap["o_proj"]["kernel"], ap["o_proj"]["bias"], self.dtype
+            )
+
         if not self.is_initializing() and packed_attention_kv_enabled(
             self.num_heads, qk_ch, v_ch, x_kv.shape[1], x_kv.shape[-1],
             pad_mask, self.dropout, deterministic,

@@ -49,9 +49,16 @@ def _grad_kernel(x_ref, dy_ref, dw_ref, db_ref):
 
     x = x_ref[...]
     dy = dy_ref[...]
+    # precision pinned DEFAULT (same guard as ops/pallas/g2e_train.py):
+    # under the test suite's global "highest" default, an f32 dot lowers
+    # as multi-pass bf16x6 whose staging doubles the scoped-VMEM bill —
+    # measured 16.35M vs the 16M limit at [2048, 256+256] blocks on v5e
+    # (compile abort); single-pass f32-accumulated DEFAULT is the
+    # production (bf16) numerics either way
     dw_ref[...] += jax.lax.dot_general(
         x, dy, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     db_ref[...] += jnp.sum(dy.astype(jnp.float32), axis=0, keepdims=True)
 

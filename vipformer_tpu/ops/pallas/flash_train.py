@@ -456,6 +456,428 @@ def _vjp_bwd(num_heads, scale, rate, kv_chunk, interpret, res, do):
 flash_attention_train.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+# ---------------------------------------------------------------------------
+# kv-side LayerNorm + projections folded into the training kernel
+#
+# The pretrain CA's kv side is LN -> bias-free k/v Dense over the [B, M,
+# Din] point tokens. Run through XLA at B=384/M=2048 that chain costs (r3
+# profile): 2 x 1.2 ms forward megafusions (batch-degraded XposeReuse
+# emitters), and in the backward the flash kernel's dk/dv emerge as TWO
+# f32 [B, M, D] HBM arrays (805 MB each) that XLA re-reads into transposed
+# {1,2,0} activation copies (fusion.14, 1.8 ms) feeding its dW emitters.
+# Folding the chain into the kernel, the forward projects each kv chunk in
+# VMEM (raw x read once, k/v never in HBM) and the backward emits ONE bf16
+# dx array plus f32 [Din, D] weight-grad accumulators that live in VMEM
+# across the whole grid — the 1.6 GB of f32 dk/dv traffic disappears.
+
+_LN_EPS = 1e-5
+
+
+def _proj(x, w):
+    """[BT, R, Din] @ [Din, D] -> [BT, R, D], f32 accumulate, emit x.dtype.
+    precision pinned DEFAULT (see ops/pallas/g2e_train.py: a global
+    'highest' would request multi-pass bf16 dots Mosaic cannot lower)."""
+    if x.shape[0] == 1:
+        out = jax.lax.dot_general(
+            x[0], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )[None]
+    else:
+        out = jax.lax.dot_general(
+            x, w, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    return out
+
+
+def _ln_fwd_stats(x_f32, lns, lnb):
+    """Inline nn.layers.LayerNorm math on a [BT, R, Din] f32 block."""
+    mu = jnp.mean(x_f32, axis=-1, keepdims=True)
+    mu2 = jnp.mean(x_f32 * x_f32, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    rstd = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = (x_f32 - mu) * rstd
+    return xhat, rstd, xhat * lns + lnb
+
+
+def _fwd_kv_kernel(scale, h, rate, dt_np, seed_ref, q_ref, x_ref, lns_ref,
+                   lnb_ref, wk_ref, wv_ref, o_ref, lse_ref,
+                   acc_ref, m_ref, l_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[...]  # [BT, G, D]
+    _, _, xn_f = _ln_fwd_stats(
+        x_ref[...].astype(jnp.float32), lns_ref[0], lnb_ref[0]
+    )
+    xn = xn_f.astype(dt_np)
+    k = _proj(xn, wk_ref[...]).astype(dt_np)  # [BT, Mc, D]
+    v = _proj(xn, wv_ref[...]).astype(dt_np)
+    dh = q.shape[2] // h
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], i * 4096 + j)
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        logits = _bdot(
+            q[:, :, sl].astype(jnp.float32),
+            k[:, :, sl].astype(jnp.float32), 2, 2,
+        ) * scale
+        m_prev = m_ref[head]
+        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1))
+        corr = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new[:, :, None])
+        l_ref[head] = l_ref[head] * corr + jnp.sum(p, axis=-1)
+        m_ref[head] = m_new
+        if rate > 0.0:
+            keep = _keep_mask(rate, p.shape)
+            p = jnp.where(keep, p / (1.0 - rate), 0.0)
+        pv = _bdot(p.astype(v.dtype), v[:, :, sl], 2, 1)
+        acc_ref[head] = acc_ref[head] * corr[:, :, None] + pv
+
+    @pl.when(j == nj - 1)
+    def _():
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            o_ref[:, :, sl] = (
+                acc_ref[head] / l_ref[head][:, :, None]
+            ).astype(o_ref.dtype)
+            lse_ref[:, head, :] = m_ref[head] + jnp.log(l_ref[head])
+
+
+def _bwd_kv_kernel(scale, h, rate, dt_np, seed_ref, q_ref, x_ref, lns_ref,
+                   lnb_ref, wk_ref, wv_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dx_ref, dwk_ref, dwv_ref, dlns_ref, dlnb_ref,
+                   dq_acc):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        dwk_ref[...] = jnp.zeros_like(dwk_ref)
+        dwv_ref[...] = jnp.zeros_like(dwv_ref)
+        dlns_ref[...] = jnp.zeros_like(dlns_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+
+    q = q_ref[...]
+    lns = lns_ref[0]
+    xhat, rstd, xn_f = _ln_fwd_stats(
+        x_ref[...].astype(jnp.float32), lns, lnb_ref[0]
+    )
+    xn = xn_f.astype(dt_np)
+    wk = wk_ref[...]
+    wv = wv_ref[...]
+    k = _proj(xn, wk).astype(dt_np)
+    v = _proj(xn, wv).astype(dt_np)
+    do = do_ref[...]
+    dh = q.shape[2] // h
+    bt, mc, din = xhat.shape
+    dxn = jnp.zeros((bt, mc, din), jnp.float32)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0], i * 4096 + j)  # same stream as fwd
+    xn2 = xn_f.reshape(bt * mc, din)
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        q_h = q[:, :, sl].astype(jnp.float32)
+        k_h = k[:, :, sl].astype(jnp.float32)
+        logits = _bdot(q_h, k_h, 2, 2) * scale
+        p = jnp.exp(logits - lse_ref[:, head, :][:, :, None])
+        if rate > 0.0:
+            keep = _keep_mask(rate, p.shape)
+            pd = jnp.where(keep, p / (1.0 - rate), 0.0)
+        else:
+            pd = p
+        do_h = do[:, :, sl].astype(jnp.float32)
+        v_h = v[:, :, sl].astype(jnp.float32)
+        dv_h = _bdot(pd, do_h, 1, 1)  # [BT, Mc, dh] f32
+        dpd = _bdot(do_h, v_h, 2, 2)
+        ds = (
+            pd * dpd - p * delta_ref[:, head, :][:, :, None]
+        ) * scale
+        dq_acc[head] += _bdot(ds, k_h, 2, 1)
+        dk_h = _bdot(ds, q_h, 1, 1)  # [BT, Mc, dh] f32
+        # weight grads accumulate in VMEM across the whole grid; column
+        # slices per head keep everything [*, dh]-blocked
+        dwk_ref[:, sl] += jax.lax.dot_general(
+            xn2, dk_h.reshape(bt * mc, dh), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        dwv_ref[:, sl] += jax.lax.dot_general(
+            xn2, dv_h.reshape(bt * mc, dh), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        # dxn += dk_h Wk_sl^T + dv_h Wv_sl^T (contract the head width)
+        wk_sl = wk[:, sl].astype(jnp.float32)  # [Din, dh]
+        wv_sl = wv[:, sl].astype(jnp.float32)
+        if bt == 1:
+            dxn = dxn + (
+                jax.lax.dot_general(
+                    dk_h[0], wk_sl, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + jax.lax.dot_general(
+                    dv_h[0], wv_sl, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )[None]
+        else:
+            dxn = dxn + jax.lax.dot_general(
+                dk_h, wk_sl, (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                dv_h, wv_sl, (((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    # LayerNorm backward (chunk-local: LN is rowwise over Din)
+    dxn2 = dxn.reshape(bt * mc, din)
+    dlns_ref[...] += jnp.sum(
+        dxn2 * xhat.reshape(bt * mc, din), axis=0, keepdims=True
+    )
+    dlnb_ref[...] += jnp.sum(dxn2, axis=0, keepdims=True)
+    dxhat = dxn * lns  # [BT, Mc, Din] f32
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+    @pl.when(j == nj - 1)
+    def _():
+        for head in range(h):
+            sl = slice(head * dh, (head + 1) * dh)
+            dq_ref[:, :, sl] = dq_acc[head].astype(dq_ref.dtype)
+
+
+def _row_spec(din, ms):
+    return pl.BlockSpec((1, din), lambda i, j: (0, 0), memory_space=ms)
+
+
+def _kv_blocking(b, g, d, m, din, kv_chunk):
+    """Blocking for the kv-folded kernels (fwd and bwd MUST match so the
+    dropout draws regenerate). On top of the plain bwd working set each kv
+    row carries x (bf16), dx (bf16), xhat/dxn (f32), xn f32+cast ~= 18*din
+    bytes, and the weights + dW accumulators hold ~0.75 MB of VMEM."""
+    if kv_chunk is None:
+        col_cost = 2 * d + 8 * d + 24 * g + 18 * din
+        fixed = 6 * din * d + 2 * 4 * din  # wk/wv (bf16) + dwk/dwv (f32)
+        cap = max(_LANES, min(2048, (_VMEM_BUDGET - fixed) // col_cost))
+        mc = _kv_chunk_for(m, cap)
+    else:
+        mc = kv_chunk
+    bt = _auto_bt(b, g, d, mc)
+    return mc, bt
+
+
+def _fwd_kv_call(q, x, lns, lnb, wk, wv, seed, num_heads, scale, rate,
+                 kv_chunk, interpret):
+    b, g, d = q.shape
+    m, din = x.shape[1], x.shape[2]
+    mc, bt = _kv_blocking(b, g, d, m, din, kv_chunk)
+    h = num_heads
+    ms = pl.ANY if interpret else pltpu.VMEM
+    out, lse = pl.pallas_call(
+        partial(_fwd_kv_kernel, float(scale), h, float(rate), q.dtype),
+        grid=(b // bt, m // mc),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, g, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, g), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((bt, mc, din), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            _row_spec(din, ms),
+            _row_spec(din, ms),
+            pl.BlockSpec(wk.shape, lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec(wv.shape, lambda i, j: (0, 0), memory_space=ms),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((bt, h, g), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((h, bt, g, d // h), jnp.float32),
+            pltpu.VMEM((h, bt, g), jnp.float32),
+            pltpu.VMEM((h, bt, g), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        seed, q, x,
+        lns.astype(jnp.float32).reshape(1, -1),
+        lnb.astype(jnp.float32).reshape(1, -1),
+        wk, wv,
+    )
+    return out, lse
+
+
+def _bwd_kv_call(q, x, lns, lnb, wk, wv, do, o, lse, seed, num_heads,
+                 scale, rate, kv_chunk, interpret):
+    b, g, d = q.shape
+    m, din = x.shape[1], x.shape[2]
+    mc, bt = _kv_blocking(b, g, d, m, din, kv_chunk)
+    h = num_heads
+    dh = d // h
+    ms = pl.ANY if interpret else pltpu.VMEM
+    delta = jnp.sum(
+        (do.astype(jnp.float32) * o.astype(jnp.float32)).reshape(
+            b, g, h, dh
+        ),
+        axis=-1,
+    ).transpose(0, 2, 1)  # [B, h, G]
+    dq, dx, dwk, dwv, dlns, dlnb = pl.pallas_call(
+        partial(_bwd_kv_kernel, float(scale), h, float(rate), q.dtype),
+        grid=(b // bt, m // mc),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, din), x.dtype),
+            jax.ShapeDtypeStruct((din, d), jnp.float32),
+            jax.ShapeDtypeStruct((din, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, din), jnp.float32),
+            jax.ShapeDtypeStruct((1, din), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((bt, mc, din), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            _row_spec(din, ms),
+            _row_spec(din, ms),
+            pl.BlockSpec(wk.shape, lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec(wv.shape, lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((bt, h, g), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((bt, h, g), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, g, d), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((bt, mc, din), lambda i, j: (i, j, 0),
+                         memory_space=ms),
+            pl.BlockSpec(wk.shape, lambda i, j: (0, 0), memory_space=ms),
+            pl.BlockSpec(wv.shape, lambda i, j: (0, 0), memory_space=ms),
+            _row_spec(din, ms),
+            _row_spec(din, ms),
+        ],
+        scratch_shapes=[pltpu.VMEM((h, bt, g, dh), jnp.float32)],
+        interpret=interpret,
+    )(
+        seed, q, x,
+        lns.astype(jnp.float32).reshape(1, -1),
+        lnb.astype(jnp.float32).reshape(1, -1),
+        wk, wv, do, lse, delta,
+    )
+    return dq, dx, dwk, dwv, dlns[0], dlnb[0]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def flash_attention_train_kv(
+    q: Array,
+    x_kv: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    wk: Array,
+    wv: Array,
+    seed: Array,
+    num_heads: int,
+    scale: float,
+    rate: float,
+    kv_chunk: int | None = None,
+    interpret: bool = False,
+) -> Array:
+    """flash_attention_train with the kv LayerNorm + bias-free k/v
+    projections folded in.
+
+    q [B, G, H*dh], x_kv [B, M, Din] RAW (pre-norm), ln_scale/ln_bias
+    [Din] f32, wk/wv [Din, H*dh] -> [B, G, H*dh]. Gradients flow to all
+    six array arguments. Single-device only (the gate enforces it): the
+    VMEM-resident dwk/dwv/dln accumulators would need a psum wrapper
+    under DP, which the separate-projection path already provides.
+    """
+    out, _ = _fwd_kv_call(
+        q, x_kv, ln_scale, ln_bias, wk, wv, seed, num_heads, scale, rate,
+        kv_chunk, interpret,
+    )
+    return out
+
+
+def _kv_vjp_fwd(q, x_kv, ln_scale, ln_bias, wk, wv, seed, num_heads,
+                scale, rate, kv_chunk, interpret):
+    out, lse = _fwd_kv_call(
+        q, x_kv, ln_scale, ln_bias, wk, wv, seed, num_heads, scale, rate,
+        kv_chunk, interpret,
+    )
+    return out, (q, x_kv, ln_scale, ln_bias, wk, wv, out, lse, seed)
+
+
+def _kv_vjp_bwd(num_heads, scale, rate, kv_chunk, interpret, res, do):
+    q, x_kv, ln_scale, ln_bias, wk, wv, o, lse, seed = res
+    dq, dx, dwk, dwv, dlns, dlnb = _bwd_kv_call(
+        q, x_kv, ln_scale, ln_bias, wk, wv, do, o, lse, seed, num_heads,
+        scale, rate, kv_chunk, interpret,
+    )
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return (
+        dq.astype(q.dtype),
+        dx,
+        dlns.astype(ln_scale.dtype),
+        dlnb.astype(ln_bias.dtype),
+        dwk.astype(wk.dtype),
+        dwv.astype(wv.dtype),
+        dseed,
+    )
+
+
+flash_attention_train_kv.defvjp(_kv_vjp_fwd, _kv_vjp_bwd)
+
+
+def flash_train_kv_enabled(
+    num_heads: int,
+    qk_ch: int,
+    v_ch: int,
+    g: int,
+    m: int,
+    d_in: int,
+    pad_mask,
+    deterministic: bool,
+) -> bool:
+    """Gate for the kv-folded training kernel (CrossAttention level)."""
+    from vipformer_tpu.ops.pallas.shard import sharding_active
+
+    if deterministic:
+        return False
+    if sharding_active():
+        # dwk/dwv/dln accumulate in single-device VMEM; DP/TP meshes keep
+        # the separate-projection flash path (which shard_maps cleanly)
+        return False
+    if d_in % 128 or d_in > 1024:
+        return False
+    return flash_train_enabled(
+        num_heads, qk_ch, v_ch, g, m, pad_mask, deterministic=False
+    )
+
+
 def flash_train_enabled(
     num_heads: int,
     qk_ch: int,
