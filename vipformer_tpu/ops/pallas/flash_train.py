@@ -289,13 +289,17 @@ def _bwd_call(q, k, v, do, o, lse, seed, num_heads, scale, rate, kv_chunk,
         ),
         axis=-1,
     ).transpose(0, 2, 1)  # [B, h, G]
+    # outputs emitted at the operand dtypes: the f32 originals cost three
+    # [B, M/G, D] f32 HBM arrays plus the convert round-trips the VJP's
+    # astype added on top (~1.8 GB of traffic across the 8 SA layers at
+    # pretrain dims); the in-kernel store casts the same f32 accumulators
     dq, dk, dv = pl.pallas_call(
         partial(_bwd_kernel, float(scale), h, float(rate)),
         grid=(b // bt, m // mc),
         out_shape=[
-            jax.ShapeDtypeStruct((b, g, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, m, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, d), q.dtype),
+            jax.ShapeDtypeStruct((b, m, d), k.dtype),
+            jax.ShapeDtypeStruct((b, m, d), v.dtype),
         ],
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [1]
@@ -448,9 +452,7 @@ def _vjp_bwd(num_heads, scale, rate, kv_chunk, interpret, res, do):
         interpret,
     )
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
-    return (
-        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dseed
-    )
+    return dq, dk, dv, dseed
 
 
 flash_attention_train.defvjp(_vjp_fwd, _vjp_bwd)
@@ -746,7 +748,7 @@ def _bwd_kv_call(q, x, lns, lnb, wk, wv, do, o, lse, seed, num_heads,
         partial(_bwd_kv_kernel, float(scale), h, float(rate), q.dtype),
         grid=(b // bt, m // mc),
         out_shape=[
-            jax.ShapeDtypeStruct((b, g, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, g, d), q.dtype),
             jax.ShapeDtypeStruct((b, m, din), x.dtype),
             jax.ShapeDtypeStruct((din, d), jnp.float32),
             jax.ShapeDtypeStruct((din, d), jnp.float32),
@@ -839,7 +841,7 @@ def _kv_vjp_bwd(num_heads, scale, rate, kv_chunk, interpret, res, do):
     )
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return (
-        dq.astype(q.dtype),
+        dq,
         dx,
         dlns.astype(ln_scale.dtype),
         dlnb.astype(ln_bias.dtype),

@@ -68,6 +68,22 @@ def _gather_kernel(idx_ref, pts_ref, out_ref):
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _scat_dot(onehot, g):
+    """[rows, 128, N]^T-contract-[rows, 128, C] -> [N, C], collapsed to a
+    single-contracting-dim 2-D dot: Mosaic lowers the 3-D double
+    contraction only when it can retile the rhs, which fails for tiny
+    minor dims (C=3 xyz tables -> 'lhs contracting dims must be of size
+    1'); the explicit sublane collapse works for every C."""
+    rk = onehot.shape[0] * onehot.shape[1]
+    return jax.lax.dot_general(
+        onehot.reshape(rk, onehot.shape[2]),
+        g.reshape(rk, g.shape[2]),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(g.dtype),
+    )
+
+
 def _scatter_kernel(idx_ref, g_ref, out_ref):
     j = pl.program_id(1)
 
@@ -79,14 +95,7 @@ def _scatter_kernel(idx_ref, g_ref, out_ref):
     g = g_ref[0]  # [rows, 128, C]
     n = out_ref.shape[1]
     onehot = _onehot3(idx, n).astype(g.dtype)  # [rows, 128, N]
-    acc = jax.lax.dot_general(
-        onehot,
-        g,
-        (((0, 1), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_precision_for(g.dtype),
-    )  # [N, C]
-    out_ref[0] += acc.astype(out_ref.dtype)
+    out_ref[0] += _scat_dot(onehot, g).astype(out_ref.dtype)  # [N, C]
 
 
 def _pick_rows(k128: int, rows: int) -> int:
@@ -206,81 +215,87 @@ def _gather_bwd(rows, interpret, res, g):
 gather_rows_pallas.defvjp(_gather_fwd, _gather_bwd)
 
 
-def _signed_onehot3(idx, cidx, n, dt):
-    """+1 at idx, -1 at cidx: one contraction yields t[p] - t[c]."""
-    rows = idx.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, 128, n), 2)
-    return (iota == idx[:, :, None]).astype(dt) - (
-        iota == cidx[:, :, None]
-    ).astype(dt)
-
-
-def _gather_centered_kernel(idx_ref, cidx_ref, pts_ref, out_ref):
-    idx = idx_ref[0]  # [rows, 128] int32 neighbor rows
-    cidx = cidx_ref[0]  # [rows, 128] int32 center rows (>= N)
-    pts = pts_ref[0]  # [N + G, C]: points, then masked centers
-    onehot = _signed_onehot3(idx, cidx, pts.shape[0], pts.dtype)
-    out = jax.lax.dot_general(
+def _gather_centered_kernel(idx_ref, cidx_ref, pts_ref, c_ref, out_ref):
+    """out = pts[idx] - centers[gid], as TWO one-hot dots of different
+    widths. The first r3 version used one signed one-hot over an extended
+    [N+G, C] table; building the [rows, 128, N+G] compare mask twice cost
+    ~1.3 ms of VPU work at [384, 128x32, 2048] (stem.1 4.5 -> 5.8 ms).
+    The center mask only needs width G (128 vs 2176 here), so the split
+    halves the compare bill; the subtract happens in registers."""
+    idx = idx_ref[0]  # [rows, 128] int32 neighbor rows in [0, N)
+    gid = cidx_ref[0]  # [rows, 128] int32 group ids in [0, G)
+    pts = pts_ref[0]  # [N, C]
+    cz = c_ref[0]  # [G, C] center xyz (extra channels zero)
+    onehot = _onehot3(idx, pts.shape[0]).astype(pts.dtype)
+    g1 = jax.lax.dot_general(
         onehot, pts, (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_precision_for(pts.dtype),
     )
-    out_ref[0] = out.astype(out_ref.dtype)
+    conehot = _onehot3(gid, cz.shape[0]).astype(cz.dtype)
+    g2 = jax.lax.dot_general(
+        conehot, cz, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_precision_for(cz.dtype),
+    )
+    out_ref[0] = (g1 - g2).astype(out_ref.dtype)
 
 
-def _scatter_centered_kernel(idx_ref, cidx_ref, g_ref, out_ref):
+def _scatter_centered_kernel(idx_ref, gid_ref, g_ref, dp_ref, dc_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        dp_ref[...] = jnp.zeros_like(dp_ref)
+        dc_ref[...] = jnp.zeros_like(dc_ref)
 
     idx = idx_ref[0]
-    cidx = cidx_ref[0]
+    gid = gid_ref[0]
     g = g_ref[0]  # [rows, 128, C]
-    onehot = _signed_onehot3(idx, cidx, out_ref.shape[1], g.dtype)
-    acc = jax.lax.dot_general(
-        onehot, g, (((0, 1), (0, 1)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_precision_for(g.dtype),
-    )  # [N + G, C]; center rows accumulate -dg via the signed transpose
-    out_ref[0] += acc.astype(out_ref.dtype)
+    onehot = _onehot3(idx, dp_ref.shape[1]).astype(g.dtype)
+    dp_ref[0] += _scat_dot(onehot, g).astype(dp_ref.dtype)  # [N, C]
+    conehot = _onehot3(gid, dc_ref.shape[1]).astype(g.dtype)
+    # centers get -sum(dg) over their group
+    dc_ref[0] -= _scat_dot(conehot, g).astype(dc_ref.dtype)  # [G, C]
 
 
-def _centered_impl(table, idx, cidx, rows, interpret):
-    b, next_, c = table.shape
+def _centered_impl(points, cz, idx, gid, rows, interpret):
+    b, n, c = points.shape
     k = idx.shape[1]
+    gnum = cz.shape[1]
     assert k % 128 == 0  # G*S for the patch stem; gate guarantees this
     rows = _pick_rows(k // 128, rows)
     idx3 = idx.astype(jnp.int32).reshape(b, k // 128, 128)
-    cidx3 = cidx.astype(jnp.int32).reshape(b, k // 128, 128)
+    gid3 = gid.astype(jnp.int32).reshape(b, k // 128, 128)
     ms = pl.ANY if interpret else pltpu.VMEM
     idx_spec = pl.BlockSpec(
         (1, rows, 128), lambda i, j: (i, j, 0), memory_space=ms
     )
     out = pl.pallas_call(
         _gather_centered_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, k // 128, 128, c), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, k // 128, 128, c), points.dtype),
         grid=(b, k // 128 // rows),
         in_specs=[
             idx_spec,
             idx_spec,
-            pl.BlockSpec((1, next_, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, gnum, c), lambda i, j: (i, 0, 0),
                          memory_space=ms),
         ],
         out_specs=pl.BlockSpec(
             (1, rows, 128, c), lambda i, j: (i, j, 0, 0), memory_space=ms
         ),
         interpret=interpret,
-    )(idx3, cidx3, table)
+    )(idx3, gid3, points, cz)
     return out.reshape(b, k, c)
 
 
-def _scatter_centered_impl(g, idx, cidx, next_, dtype, rows, interpret):
+def _scatter_centered_impl(g, idx, gid, n, gnum, dtype, rows, interpret):
     b, k, c = g.shape
     rows = _pick_rows(k // 128, rows)
     idx3 = idx.astype(jnp.int32).reshape(b, k // 128, 128)
-    cidx3 = cidx.astype(jnp.int32).reshape(b, k // 128, 128)
+    gid3 = gid.astype(jnp.int32).reshape(b, k // 128, 128)
     g4 = g.reshape(b, k // 128, 128, c)
     ms = pl.ANY if interpret else pltpu.VMEM
     idx_spec = pl.BlockSpec(
@@ -288,7 +303,10 @@ def _scatter_centered_impl(g, idx, cidx, next_, dtype, rows, interpret):
     )
     return pl.pallas_call(
         _scatter_centered_kernel,
-        out_shape=jax.ShapeDtypeStruct((b, next_, c), dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), dtype),
+            jax.ShapeDtypeStruct((b, gnum, c), dtype),
+        ],
         grid=(b, k // 128 // rows),
         in_specs=[
             idx_spec,
@@ -296,17 +314,20 @@ def _scatter_centered_impl(g, idx, cidx, next_, dtype, rows, interpret):
             pl.BlockSpec((1, rows, 128, c), lambda i, j: (i, j, 0, 0),
                          memory_space=ms),
         ],
-        out_specs=pl.BlockSpec(
-            (1, next_, c), lambda i, j: (i, 0, 0), memory_space=ms
-        ),
+        out_specs=[
+            pl.BlockSpec((1, n, c), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, gnum, c), lambda i, j: (i, 0, 0),
+                         memory_space=ms),
+        ],
         interpret=interpret,
-    )(idx3, cidx3, g4)
+    )(idx3, gid3, g4)
 
 
-def _centered_tables(points, centers):
-    """[B, N, C] + [B, G, Cc>=3] -> extended table [B, N+G, C] whose last G
-    rows hold the centers' xyz (zero in extra channels, which stay
-    uncentered per divide_patches' documented-intent normalization)."""
+def _center_table(points, centers):
+    """centers [B, G, Cc>=3] -> [B, G, C] xyz table in the points' dtype
+    (zero in extra channels, which stay uncentered per divide_patches'
+    documented-intent normalization)."""
     b, _, c = points.shape
     g = centers.shape[1]
     cz = centers[..., :3].astype(points.dtype)
@@ -314,7 +335,7 @@ def _centered_tables(points, centers):
         cz = jnp.concatenate(
             [cz, jnp.zeros((b, g, c - 3), points.dtype)], axis=-1
         )
-    return jnp.concatenate([points, cz], axis=1)
+    return cz
 
 
 def _centered_sharded(points, centers, idx, group_size, rows, interpret):
@@ -322,13 +343,13 @@ def _centered_sharded(points, centers, idx, group_size, rows, interpret):
 
     b, n, _ = points.shape
     k = idx.shape[1]
-    table = _centered_tables(points, centers)
+    cz = _center_table(points, centers)
     row_g = jnp.arange(k, dtype=jnp.int32) // group_size
-    cidx = jnp.broadcast_to(n + row_g, (b, k))
+    gid = jnp.broadcast_to(row_g, (b, k))
     return data_sharded_call(
-        lambda t, i, ci: _centered_impl(t, i, ci, rows, interpret),
-        (table, idx, cidx),
-        (True, True, True),
+        lambda p, cc, i, gi: _centered_impl(p, cc, i, gi, rows, interpret),
+        (points, cz, idx, gid),
+        (True, True, True, True),
         True,
     )
 
@@ -346,14 +367,15 @@ def gather_rows_centered_pallas(
     [B, G*S, C] = points[idx] with the owning group's center xyz
     subtracted from channels :3 (extra channels ride along uncentered).
 
-    One signed one-hot MXU contraction (+1 neighbor row, -1 center row
-    over an extended [N+G, C] table) replaces gather + broadcast + sub:
-    the r3 train profile shows the separate centering costs 2.5 ms at
-    [384, 128, 32, 3] because the padded minor-dim-3 tiles round-trip HBM
-    at 2.3% lane occupancy. Bit-exactness matches the separate path: f32
-    tables contract at HIGHEST (exact 1.0/-1.0 products, f32 accumulate =
-    the f32 subtract); bf16 tables accumulate the f32 difference of bf16
-    values and round once — the correctly-rounded bf16 subtract.
+    Two one-hot MXU contractions inside one kernel (a width-N neighbor
+    gather and a width-G center gather, subtracted in registers) replace
+    gather + broadcast + sub: the r3 train profile shows the separate
+    centering costs 2.5 ms at [384, 128, 32, 3] because the padded
+    minor-dim-3 tiles round-trip HBM at 2.3% lane occupancy. Bit-exactness
+    matches the separate path: f32 tables contract at HIGHEST (exact
+    1.0/-1.0 products, f32 accumulate = the f32 subtract); bf16 tables
+    accumulate the f32 difference of bf16 values and round once — the
+    correctly-rounded bf16 subtract.
     """
     return _centered_sharded(points, centers, idx, group_size, rows,
                              interpret)
@@ -375,17 +397,16 @@ def _centered_bwd(group_size, rows, interpret, res, g):
     n = p_proto.shape[1]
     gnum = c_proto.shape[1]
     row_g = jnp.arange(k, dtype=jnp.int32) // group_size
-    cidx = jnp.broadcast_to(n + row_g, (b, k))
-    d_ext = data_sharded_call(
-        lambda gg, ii, ci: _scatter_centered_impl(
-            gg, ii, ci, n + gnum, p_proto.dtype, rows, interpret
-        ),
-        (g, idx, cidx),
+    gid = jnp.broadcast_to(row_g, (b, k))
+    d_points, d_cz = data_sharded_call(
+        lambda gg, ii, gi: tuple(_scatter_centered_impl(
+            gg, ii, gi, n, gnum, p_proto.dtype, rows, interpret
+        )),
+        (g, idx, gid),
         (True, True, True),
-        True,
+        (True, True),
     )
-    d_points = d_ext[:, :n]
-    d_c = d_ext[:, n:, :3]  # signed transpose already carries the -1
+    d_c = d_cz[..., :3]  # the scatter kernel already carries the -1
     cc = c_proto.shape[-1]
     if cc > 3:
         d_c = jnp.concatenate(
