@@ -241,6 +241,123 @@ def bench_train_step(batch_size: int = 192, reps: int = 4):
     }
 
 
+def _time_steps(step, state, batch, reps: int = 4, inner: int = 4):
+    """Median per-step seconds of a jitted train step (chained `inner`
+    calls per timing, scalar-fetch barrier — same protocol as
+    bench_train_step; on the tunneled backend only chained timings
+    reflect device time)."""
+    from vipformer_tpu.utils.cache import train_key
+
+    key = train_key(0)
+    state, m = step(state, batch, 1e-3, key)  # compile
+    float(m["loss"])
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            state, m = step(state, batch, 1e-3, key)
+        float(m["loss"])
+        times.append((time.perf_counter() - t0) / inner)
+    return float(np.median(times))
+
+
+def bench_ft_cls_train(batch_size: int = 160, reps: int = 4):
+    """Classification FINETUNE training-step throughput — the actual
+    TABLE I workload (reference `ft_cls.py:151-213`): flagship H4D256
+    model at 1024 points, smoothed-CE, adamw, dropout profile from
+    scripts/finetune/ft-E1CL8SL-H4D256-L128-MR2.sh. Baseline: TABLE I
+    "finetune latency" 1,015 ms at batch 160 on the 6-GPU node
+    = 157.6 clouds/s node-wide."""
+    from vipformer_tpu.train import (
+        create_state, init_variables, make_cls_step,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Config(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        num_obj_classes=15,  # ScanObjectNN, the TABLE I dataset
+        optim="adamw", lr=1e-3,
+        max_dpr=0.0, atten_drop=0.1, mlp_drop=0.5,
+        batch_size=batch_size,
+        **decode_arch_name(FLAGSHIP),
+    )
+    model = build_ft_cls(cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "points": jnp.asarray(
+            rng.standard_normal((batch_size, NUM_POINTS, 3)),
+            dtype=jnp.float32,
+        ),
+        "labels": jnp.asarray(
+            rng.integers(0, 15, size=(batch_size,)), dtype=jnp.int32
+        ),
+    }
+    params, stats = init_variables(model, (batch["points"],))
+    state, tx = create_state(cfg, params, stats)
+    sec = _time_steps(make_cls_step(cfg, model, tx), state, batch, reps)
+    return {
+        "batch": batch_size,
+        "step_s": sec,
+        "clouds_per_sec": batch_size / sec,
+        "vs_tab1_node": (batch_size / sec) / BASELINE_CLOUDS_PER_SEC,
+    }
+
+
+# ShapeNetPart trainval (reference `ft_partseg.py:46`) = 14,007 clouds;
+# TABLE III reports 42.1 s latency for the 6-GPU node — read as one
+# training epoch, that is 332.7 clouds/s node-wide.
+_PARTSEG_TRAINVAL = 14007
+_PARTSEG_BASELINE_CPS = _PARTSEG_TRAINVAL / 42.1
+
+
+def bench_partseg_train(batch_size: int = 96, reps: int = 4):
+    """Part-segmentation FINETUNE training-step throughput — the TABLE III
+    workload (reference `ft_partseg.py:135-219`): H6D384 12-layer encoder
+    with taps (2,6,10), FeaturePropagation dense decode, BN-heavy heads,
+    per-point smoothed-CE over 50 parts; batch 96 per
+    scripts/finetune/ft-partseg.sh."""
+    from vipformer_tpu.models import build_ft_partseg
+    from vipformer_tpu.train import (
+        create_state, init_variables, make_partseg_step,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Config(
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        num_latent_channels=384, num_ca_heads=6, num_sa_heads=6,
+        num_sa_layers=12, mlp_widen_factor=4, layer_idx=(2, 6, 10),
+        optim="adamw", lr=1e-3,
+        max_dpr=0.1, atten_drop=0.0, mlp_drop=0.0,
+        batch_size=batch_size,
+    )
+    model = build_ft_partseg(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(
+        rng.standard_normal((batch_size, NUM_POINTS, 3)), dtype=jnp.float32
+    )
+    batch = {
+        "points": pts,
+        "seg": jnp.asarray(
+            rng.integers(0, 50, size=(batch_size, NUM_POINTS)),
+            dtype=jnp.int32,
+        ),
+        "obj_labels": jnp.asarray(
+            rng.integers(0, 16, size=(batch_size,)), dtype=jnp.int32
+        ),
+    }
+    onehot = jnp.zeros((batch_size, 16), jnp.float32)
+    params, stats = init_variables(model, (pts, onehot))
+    state, tx = create_state(cfg, params, stats)
+    sec = _time_steps(make_partseg_step(cfg, model, tx), state, batch, reps)
+    return {
+        "batch": batch_size,
+        "step_s": sec,
+        "clouds_per_sec": batch_size / sec,
+        "epoch_trainval_s": _PARTSEG_TRAINVAL / (batch_size / sec),
+        "vs_tab3_node": (batch_size / sec) / _PARTSEG_BASELINE_CPS,
+    }
+
+
 def main():
     quick = "--quick" in sys.argv
     # measured sweep on v5e (r2): best per-cloud latency at batch 128
@@ -267,7 +384,9 @@ def main():
             )
         )
         return
-    batches = [256] if quick else [32, 64, 128, 256]
+    # 512 joined the sweep in r4 (VERDICT item 5: record the point either
+    # way); per-cloud curve must be non-decreasing through 256
+    batches = [256] if quick else [32, 64, 128, 256, 512]
     results = []
     for b in batches:
         try:
@@ -341,6 +460,34 @@ def main():
             )
         except Exception as e:
             print(f"# train bench failed: {e}", file=sys.stderr)
+        try:
+            ft = bench_ft_cls_train()
+            print(f"# ft_cls train: {ft}", file=sys.stderr)
+            detail["ft_cls_train_clouds_per_sec"] = round(
+                ft["clouds_per_sec"], 1
+            )
+            detail["ft_cls_train_step_ms_b160"] = round(
+                1e3 * ft["step_s"], 1
+            )
+            detail["ft_cls_train_vs_tab1_node"] = round(
+                ft["vs_tab1_node"], 2
+            )
+        except Exception as e:
+            print(f"# ft_cls train bench failed: {e}", file=sys.stderr)
+        try:
+            ps = bench_partseg_train()
+            print(f"# partseg train: {ps}", file=sys.stderr)
+            detail["partseg_train_clouds_per_sec"] = round(
+                ps["clouds_per_sec"], 1
+            )
+            detail["partseg_train_epoch_trainval_s"] = round(
+                ps["epoch_trainval_s"], 1
+            )
+            detail["partseg_train_vs_tab3_node"] = round(
+                ps["vs_tab3_node"], 2
+            )
+        except Exception as e:
+            print(f"# partseg train bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(

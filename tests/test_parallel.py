@@ -221,7 +221,8 @@ def _force_all_kernels(on: bool):
     pgather.USE_MXU_GATHER = True if on else None
 
 
-def test_tp_and_dp_steps_with_kernels_match_xla(rng):
+@pytest.mark.parametrize("wide", [False, True])
+def test_tp_and_dp_steps_with_kernels_match_xla(rng, monkeypatch, wide):
     """Full train steps with EVERY Pallas kernel forced on (interpret mode
     on CPU), under shard_map on a DP-8 mesh and a TP-2 x DP-4 mesh, must
     match the single-device XLA-path baseline — losses and updated params.
@@ -229,11 +230,29 @@ def test_tp_and_dp_steps_with_kernels_match_xla(rng):
     This is the r2 VERDICT item 6 end state: no silent wrong-or-replicated
     multi-device kernel path exists; the shard_map wrappers
     (ops/pallas/shard.py) carry the kernels onto the mesh with explicit
-    psums for weight grads / BN stats."""
+    psums for weight grads / BN stats.
+
+    wide=True uses lane-aligned channels (D=128) so the kv-FOLDED flash
+    train kernel's gate (`flash_train_kv_enabled`: d_in % 128 == 0)
+    engages on the mesh — the r3 verdict's top item was that this kernel
+    silently fell back on any multi-device mesh; the spy asserts it
+    actually ran."""
     from vipformer_tpu.ops.pallas import shard
+    import vipformer_tpu.ops.pallas.flash_train as pft
+
+    kv_calls = []
+    if wide:
+        orig_kv = pft.flash_attention_train_kv
+
+        def spy(*a, **k):
+            kv_calls.append(1)
+            return orig_kv(*a, **k)
+
+        monkeypatch.setattr(pft, "flash_attention_train_kv", spy)
 
     cfg = _tiny_cfg(
-        num_obj_classes=10, batch_size=16, optim="sgd", lr=0.05
+        num_obj_classes=10, batch_size=16, optim="sgd", lr=0.05,
+        **({"num_latent_channels": 128} if wide else {}),
     )
     model = build_ft_cls(cfg)
     pts = rng.standard_normal((16, 64, 3)).astype(np.float32)
@@ -284,6 +303,8 @@ def test_tp_and_dp_steps_with_kernels_match_xla(rng):
         jax.tree_util.tree_leaves(tp_params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    if wide:
+        assert kv_calls, "kv-folded flash train kernel never engaged"
 
 
 def test_tensor_parallel_train_step_matches_dp(rng):

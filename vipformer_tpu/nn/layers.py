@@ -280,9 +280,18 @@ class MultiHeadAttention(nn.Module):
             xk, wk, wv = nn.dtypes.promote_dtype(
                 x_kv, wk, wv, dtype=self.dtype
             )
-            o = fused_attention_packed_kv(
-                q, xk, wk, wv, num_heads=h, scale=scale,
-                interpret=jax.default_backend() != "tpu",
+            # on a multi-device mesh: batch over data, whole heads + wk/wv
+            # columns over model (ops/pallas/shard.py)
+            from vipformer_tpu.ops.pallas.shard import (
+                kv_attention_sharded_call,
+            )
+
+            o = kv_attention_sharded_call(
+                lambda qq, xx, wkk, wvv, hh: fused_attention_packed_kv(
+                    qq, xx, wkk, wvv, num_heads=hh, scale=scale,
+                    interpret=jax.default_backend() != "tpu",
+                ),
+                q, xk, (), wk, wv, num_heads=h,
             )
             return Dense(out_ch, dtype=self.dtype, name="o_proj")(o)
 
@@ -475,10 +484,20 @@ class CrossAttention(nn.Module):
                 x_kv, ap["k_proj"]["kernel"], ap["v_proj"]["kernel"],
                 dtype=self.dtype,
             )
-            o = fused_attention_packed_kv_ln(
-                q, xk, kvn["scale"], kvn["bias"], wk, wv,
-                num_heads=self.num_heads, scale=scale,
-                interpret=jax.default_backend() != "tpu",
+            from vipformer_tpu.ops.pallas.shard import (
+                kv_attention_sharded_call,
+            )
+
+            o = kv_attention_sharded_call(
+                lambda qq, xx, s1, b1, wkk, wvv, hh: (
+                    fused_attention_packed_kv_ln(
+                        qq, xx, s1, b1, wkk, wvv,
+                        num_heads=hh, scale=scale,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                ),
+                q, xk, (kvn["scale"], kvn["bias"]), wk, wv,
+                num_heads=self.num_heads,
             )
             return _apply_dense_params(
                 o, ap["o_proj"]["kernel"], ap["o_proj"]["bias"], self.dtype

@@ -524,17 +524,14 @@ def packed_attention_kv_enabled(
 ) -> bool:
     """Gate for the kv-projection-fused eval kernel.
 
-    Single-device only: under TP the Megatron layout shards wk/wv columns
-    by head groups, which the shard wrappers don't yet cover — those
-    meshes keep the separate-projection packed path.
+    Multi-device meshes run through `shard.kv_attention_sharded_call`
+    (r4): batch over data, whole heads + wk/wv columns over model; the
+    head-divisibility requirement is `packed_attention_enabled`'s
+    existing `tp_heads_shardable` check.
     """
-    from vipformer_tpu.ops.pallas.shard import sharding_active
-
     if not deterministic:
         # fwd-only kernel; this branch sits BEFORE the flash-train branch
         # in MultiHeadAttention, so it must reject training itself
-        return False
-    if sharding_active():
         return False
     if not packed_attention_enabled(
         num_heads, qk_ch, v_ch, m, pad_mask, dropout_rate, deterministic

@@ -793,6 +793,111 @@ def _bwd_kv_call(q, x, lns, lnb, wk, wv, do, o, lse, seed, num_heads,
     return dq, dx, dwk, dwv, dlns[0], dlnb[0]
 
 
+def _kv_tp_layout(q, num_heads):
+    """shard_map layout for the kv-folded kernels, or None for a direct
+    (single-device) call.
+
+    DP: q/x/do batch-shard over the data axis; LN params and wk/wv are
+    replicated, so the backward psums dwk/dwv/dlns/dlnb over data — the
+    exact pattern ops/pallas/dense.py uses for its replicated-weight
+    grads (the r3 gate kept this kernel single-device because these
+    accumulators live in VMEM; the psum happens on the emitted outputs,
+    outside the kernel, so nothing about the kernel changes per shard).
+
+    TP (model_axis > 1): the packed head-major [B, G, H*dh] layout makes
+    the Megatron column shards of wk/wv exactly whole heads, so each
+    model shard projects and attends its own heads; dx then psums over
+    the model axis (each shard contributes its heads' pullback into the
+    shared kv tokens) and dlns/dlnb over both axes.
+    """
+    from vipformer_tpu.ops.pallas import shard
+
+    if not shard.sharding_active():
+        return None
+    d, t = shard.data_size(), shard.model_size()
+    if q.shape[0] % d or num_heads % t or q.shape[-1] % t:
+        return None
+    from jax.sharding import PartitionSpec as P
+
+    da, ma = shard.data_axis(), shard.model_axis()
+    mam = ma if t > 1 else None
+    spec_q = P(da, None, mam)  # q / o / do / dq
+    spec_x = P(da, None, None)  # x_kv / dx
+    spec_w = P(None, mam)  # wk / wv / dwk / dwv
+    lse_spec = P(da, mam, None)
+
+    def seed_fn(seed):
+        off = jax.lax.axis_index(da) * t
+        if t > 1:
+            off = off + jax.lax.axis_index(ma)
+        return seed + off.astype(seed.dtype)
+
+    return spec_q, spec_x, spec_w, lse_spec, num_heads // t, seed_fn, da, mam
+
+
+def _fwd_kv_sharded(q, x, lns, lnb, wk, wv, seed, num_heads, scale, rate,
+                    kv_chunk, interpret):
+    layout = _kv_tp_layout(q, num_heads)
+    if layout is None:
+        return _fwd_kv_call(
+            q, x, lns, lnb, wk, wv, seed, num_heads, scale, rate, kv_chunk,
+            interpret,
+        )
+    spec_q, spec_x, spec_w, lse_spec, local_h, seed_fn, _, _ = layout
+    from vipformer_tpu.ops.pallas import shard
+    from jax.sharding import PartitionSpec as P
+
+    def f(qq, xx, s1, b1, wkk, wvv, sd):
+        return _fwd_kv_call(
+            qq, xx, s1, b1, wkk, wvv, seed_fn(sd), local_h, scale, rate,
+            kv_chunk, interpret,
+        )
+
+    return jax.shard_map(
+        f, mesh=shard.active_mesh(),
+        in_specs=(spec_q, spec_x, P(), P(), spec_w, spec_w, P()),
+        out_specs=(spec_q, lse_spec),
+        check_vma=False,
+    )(q, x, lns, lnb, wk, wv, seed)
+
+
+def _bwd_kv_sharded(q, x, lns, lnb, wk, wv, do, o, lse, seed, num_heads,
+                    scale, rate, kv_chunk, interpret):
+    layout = _kv_tp_layout(q, num_heads)
+    if layout is None:
+        return _bwd_kv_call(
+            q, x, lns, lnb, wk, wv, do, o, lse, seed, num_heads, scale,
+            rate, kv_chunk, interpret,
+        )
+    spec_q, spec_x, spec_w, lse_spec, local_h, seed_fn, da, mam = layout
+    from vipformer_tpu.ops.pallas import shard
+    from jax.sharding import PartitionSpec as P
+
+    def f(qq, xx, s1, b1, wkk, wvv, dd, oo, ll, sd):
+        dq, dx, dwk, dwv, dlns, dlnb = _bwd_kv_call(
+            qq, xx, s1, b1, wkk, wvv, dd, oo, ll, seed_fn(sd), local_h,
+            scale, rate, kv_chunk, interpret,
+        )
+        if mam is not None:
+            dx = jax.lax.psum(dx, mam)
+        dwk = jax.lax.psum(dwk, da)
+        dwv = jax.lax.psum(dwv, da)
+        red = (da,) if mam is None else (da, mam)
+        dlns = jax.lax.psum(dlns, red)
+        dlnb = jax.lax.psum(dlnb, red)
+        return dq, dx, dwk, dwv, dlns, dlnb
+
+    return jax.shard_map(
+        f, mesh=shard.active_mesh(),
+        in_specs=(
+            spec_q, spec_x, P(), P(), spec_w, spec_w, spec_q, spec_q,
+            lse_spec, P(),
+        ),
+        out_specs=(spec_q, spec_x, spec_w, spec_w, P(), P()),
+        check_vma=False,
+    )(q, x, lns, lnb, wk, wv, do, o, lse, seed)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def flash_attention_train_kv(
     q: Array,
@@ -813,11 +918,13 @@ def flash_attention_train_kv(
 
     q [B, G, H*dh], x_kv [B, M, Din] RAW (pre-norm), ln_scale/ln_bias
     [Din] f32, wk/wv [Din, H*dh] -> [B, G, H*dh]. Gradients flow to all
-    six array arguments. Single-device only (the gate enforces it): the
-    VMEM-resident dwk/dwv/dln accumulators would need a psum wrapper
-    under DP, which the separate-projection path already provides.
+    six array arguments. On a multi-device mesh the kernel runs under
+    shard_map (batch over data, whole heads + wk/wv columns over model);
+    the backward psums dwk/dwv/dln over the data axis and dx over the
+    model axis (`_kv_tp_layout`), so DDP-equivalent grad semantics hold
+    — reference `/root/reference/pretrain.py:104-109`.
     """
-    out, _ = _fwd_kv_call(
+    out, _ = _fwd_kv_sharded(
         q, x_kv, ln_scale, ln_bias, wk, wv, seed, num_heads, scale, rate,
         kv_chunk, interpret,
     )
@@ -826,7 +933,7 @@ def flash_attention_train_kv(
 
 def _kv_vjp_fwd(q, x_kv, ln_scale, ln_bias, wk, wv, seed, num_heads,
                 scale, rate, kv_chunk, interpret):
-    out, lse = _fwd_kv_call(
+    out, lse = _fwd_kv_sharded(
         q, x_kv, ln_scale, ln_bias, wk, wv, seed, num_heads, scale, rate,
         kv_chunk, interpret,
     )
@@ -835,7 +942,7 @@ def _kv_vjp_fwd(q, x_kv, ln_scale, ln_bias, wk, wv, seed, num_heads,
 
 def _kv_vjp_bwd(num_heads, scale, rate, kv_chunk, interpret, res, do):
     q, x_kv, ln_scale, ln_bias, wk, wv, o, lse, seed = res
-    dq, dx, dwk, dwv, dlns, dlnb = _bwd_kv_call(
+    dq, dx, dwk, dwv, dlns, dlnb = _bwd_kv_sharded(
         q, x_kv, ln_scale, ln_bias, wk, wv, do, o, lse, seed, num_heads,
         scale, rate, kv_chunk, interpret,
     )
@@ -864,14 +971,14 @@ def flash_train_kv_enabled(
     pad_mask,
     deterministic: bool,
 ) -> bool:
-    """Gate for the kv-folded training kernel (CrossAttention level)."""
-    from vipformer_tpu.ops.pallas.shard import sharding_active
+    """Gate for the kv-folded training kernel (CrossAttention level).
 
+    Multi-device meshes are served by `_kv_tp_layout`'s shard_map (r4):
+    batch over data with psummed dwk/dwv/dln, whole heads + weight
+    columns over model — so no mesh check here beyond what
+    `flash_train_enabled`'s `tp_heads_shardable` already imposes.
+    """
     if deterministic:
-        return False
-    if sharding_active():
-        # dwk/dwv/dln accumulate in single-device VMEM; DP/TP meshes keep
-        # the separate-projection flash path (which shard_maps cleanly)
         return False
     if d_in % 128 or d_in > 1024:
         return False

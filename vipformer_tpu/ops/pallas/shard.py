@@ -150,6 +150,47 @@ def tp_heads_shardable(num_heads: int, packed_dim: int) -> bool:
     return t == 1 or (num_heads % t == 0 and packed_dim % t == 0)
 
 
+def kv_attention_sharded_call(
+    fn,
+    q: Array,
+    x_kv: Array,
+    rep: Sequence[Array],
+    wk: Array,
+    wv: Array,
+    *,
+    num_heads: int,
+):
+    """Run a kv-projection-fused packed attention kernel under shard_map.
+
+    `fn(q, x_kv, *rep, wk, wv, local_heads)` is called per shard with
+    q [B, G, H*dh] batch-sharded over data and heads over model,
+    x_kv [B, M, Din] batch-sharded only, `rep` replicated (e.g. the kv
+    LayerNorm scale/bias), and wk/wv [Din, H*dh] column-sharded over the
+    model axis — the head-major packed layout makes the Megatron column
+    shards exactly whole heads, so each model shard projects and attends
+    its own heads with no collective (fwd-only kernels: no weight grads,
+    hence no psum). Falls back to a direct call when no multi-device
+    mesh is registered or the shapes don't divide it.
+    """
+    if not sharding_active():
+        return fn(q, x_kv, *rep, wk, wv, num_heads)
+    d, t = data_size(), model_size()
+    if q.shape[0] % d or num_heads % t or q.shape[-1] % t:
+        return fn(q, x_kv, *rep, wk, wv, num_heads)
+    mam = model_axis() if t > 1 else None
+    qspec = P(data_axis(), None, mam)
+    xspec = P(data_axis(), None, None)
+    wspec = P(None, mam)
+    local_h = num_heads // t
+    return jax.shard_map(
+        lambda qq, xx, *rest: fn(qq, xx, *rest, local_h),
+        mesh=_MESH,
+        in_specs=(qspec, xspec) + tuple(P() for _ in rep) + (wspec, wspec),
+        out_specs=qspec,
+        check_vma=False,
+    )(q, x_kv, *rep, wk, wv)
+
+
 def attention_sharded_call(fn, q: Array, k: Array, v: Array, *, num_heads: int):
     """Run a packed-layout attention kernel (q [B, G, H*dh], k/v
     [B, M, H*dh]) under shard_map: batch over data, heads over model.
