@@ -84,6 +84,36 @@ def test_ft_cls_cli_from_scratch(tmp_path):
     assert 0.0 <= out["best_acc"] <= 1.0
 
 
+def test_ft_cls_cli_crash_resume(tmp_path):
+    """Finetune crash-resume (r4): a killed ft_cls run continues from the
+    rolling model_last snapshot at the next epoch, with the best-acc
+    bookkeeping restored. The reference cannot do this at all — its ft
+    loops only bootstrap weights from a pretrain ckpt (`ft_cls.py:92-101`)
+    and restart at epoch 0."""
+    import json
+
+    from vipformer_tpu.cli import ft_cls
+
+    cfg = tiny_cfg(
+        tmp_path, exp_name="cr", num_obj_classes=40, epochs=2, save_freq=1
+    )
+    ft_cls.main(cfg)  # "dies" after epoch 1 (epochs=2)
+    out = ft_cls.main(cfg.replace(resume_training=True, epochs=4))
+    assert out["best_epoch"] >= 0
+    rows = [
+        json.loads(l)
+        for l in open(
+            tmp_path / "runs" / cfg.proj_name / "cr" / "metrics.jsonl"
+        )
+    ]
+    epochs = [r["step"] for r in rows]
+    # resumed run appended epochs 2..3 exactly once — no epoch 0/1 rerun
+    assert epochs == [0, 1, 2, 3]
+    # best-acc monotone across the boundary (bookkeeping restored)
+    bests = [r["best_acc"] for r in rows]
+    assert bests == sorted(bests)
+
+
 def test_ft_cls_cli_eval_only(tmp_path):
     """Reference `--eval` mode (parser.py:30, dormant there; live here):
     load model_best and report test accuracy without training."""

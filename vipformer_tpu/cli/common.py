@@ -155,3 +155,47 @@ def collate_points_labels(samples):
     pts = np.stack([s[0] for s in samples])
     labels = np.asarray([s[1] for s in samples], dtype=np.int64)
     return {"points": pts, "labels": labels}
+
+
+def resume_training_state(run, state, logger, cfg: Config):
+    """Crash-resume for the finetune loops (pretrain has its own inline
+    version, cli/pretrain.py:100-123): restore the rolling `model_last`
+    snapshot — full TrainState including optimizer moments — and the
+    epoch/best metadata. Returns (state, start_epoch, meta).
+
+    The reference has no equivalent: its finetune loops can only
+    bootstrap weights from a pretrain checkpoint (`ft_cls.py:92-101`)
+    and restart epoch 0 after any crash.
+    """
+    if not cfg.resume_training:
+        return state, 0, {}
+    import os
+
+    from vipformer_tpu.train import load_checkpoint, load_metadata
+
+    path = run.model_path("model_last")
+    if not os.path.exists(path):
+        # killed before the first rolling save: fresh start beats a crash
+        # (unattended requeue loops — tools/run_queue.py — retry us)
+        logger.write(
+            f"resume_training requested but {path} missing: fresh start"
+        )
+        return state, 0, {}
+    state = load_checkpoint(path, template=state)
+    meta = load_metadata(path)
+    start = meta.get("epoch", -1) + 1
+    logger.write(f"resumed training from {path} at epoch {start}")
+    return state, start, meta
+
+
+def save_rolling(run, state, epoch: int, cfg: Config, extra: dict) -> None:
+    """Kill-safe rolling snapshot every `save_freq` epochs (atomic via
+    os.replace inside save_checkpoint; chief-gated there too)."""
+    from vipformer_tpu.train import save_checkpoint
+
+    if cfg.save_freq and (epoch + 1) % cfg.save_freq == 0:
+        save_checkpoint(
+            run.model_path("model_last"),
+            jax.device_get(state),
+            {"epoch": epoch, **extra},
+        )

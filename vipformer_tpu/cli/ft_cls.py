@@ -91,6 +91,9 @@ def main(cfg: Config) -> dict:
             )
 
     state, tx = create_state(cfg, params, stats)
+    state, start_epoch, last_meta = common.resume_training_state(
+        run, state, logger, cfg
+    )
     state = place_state(state, mesh)
     step = make_cls_step(cfg, model, tx)
     eval_step = make_cls_eval(model)
@@ -106,12 +109,13 @@ def main(cfg: Config) -> dict:
         logger.write(f"eval-only: test acc {acc:.4f}")
         return {"best_acc": acc, "best_epoch": -1}
 
-    best_acc, best_epoch = 0.0, -1
+    best_acc = last_meta.get("best_acc", 0.0)
+    best_epoch = last_meta.get("best_epoch", -1)
     from vipformer_tpu.utils.cache import train_key
 
     key = train_key(cfg.seed)
     epoch_metric = None  # feeds the plateau scheduler
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         # plateau gets last epoch's mean train loss (None on the first
         # epoch); NOTE the reference's plateau was unusable -- its
         # scheduler.step() at pretrain.py:311 passes no metric, which
@@ -148,6 +152,11 @@ def main(cfg: Config) -> dict:
         logger.metrics(
             epoch, lr=lr, train_loss=loss_m.avg, train_acc=acc_m.avg,
             test_acc=test_acc, best_acc=best_acc, train_time=train_time,
+        )
+        common.save_rolling(
+            run, state, epoch, cfg,
+            {"test_acc": test_acc, "best_acc": best_acc,
+             "best_epoch": best_epoch, "kind": "ft_cls"},
         )
     logger.write(f"final best test acc {best_acc:.4f} at epoch {best_epoch}")
     if cfg.dump_feats:

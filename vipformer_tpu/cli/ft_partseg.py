@@ -85,18 +85,21 @@ def main(cfg: Config) -> dict:
         )
 
     state, tx = create_state(cfg, params, stats)
+    state, start_epoch, last_meta = common.resume_training_state(
+        run, state, logger, cfg
+    )
     state = place_state(state, mesh)
     step = make_partseg_step(cfg, model, tx)
     eval_step = make_partseg_eval(model)
     schedule = Schedule(cfg)
 
-    best = {"mean_category_iou": 0.0}
-    best_epoch = -1
+    best = last_meta.get("best", {"mean_category_iou": 0.0})
+    best_epoch = last_meta.get("best_epoch", -1)
     from vipformer_tpu.utils.cache import train_key
 
     key = train_key(cfg.seed)
     epoch_metric = None  # feeds the plateau scheduler
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         # plateau gets last epoch's mean train loss (None on the first
         # epoch); NOTE the reference's plateau was unusable -- its
         # scheduler.step() at pretrain.py:311 passes no metric, which
@@ -133,6 +136,10 @@ def main(cfg: Config) -> dict:
         logger.metrics(
             epoch, lr=lr, train_loss=loss_m.avg, train_acc=acc_m.avg,
             train_time=train_time, **results,
+        )
+        common.save_rolling(
+            run, state, epoch, cfg,
+            {"best": best, "best_epoch": best_epoch, "kind": "ft_partseg"},
         )
     logger.write(
         f"final best mean-category IoU {best['mean_category_iou']:.4f} "

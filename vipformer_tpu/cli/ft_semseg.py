@@ -74,18 +74,21 @@ def main(cfg: Config) -> dict:
         )
 
     state, tx = create_state(cfg, params, stats)
+    state, start_epoch, last_meta = common.resume_training_state(
+        run, state, logger, cfg
+    )
     state = place_state(state, mesh)
     step = make_semseg_step(cfg, model, tx)
     eval_step = make_semseg_eval(model)
     schedule = Schedule(cfg)
 
-    best = {"miou": 0.0}
-    best_epoch = -1
+    best = last_meta.get("best", {"miou": 0.0})
+    best_epoch = last_meta.get("best_epoch", -1)
     from vipformer_tpu.utils.cache import train_key
 
     key = train_key(cfg.seed)
     epoch_metric = None  # feeds the plateau scheduler
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         # plateau gets last epoch's mean train loss (None on the first
         # epoch); NOTE the reference's plateau was unusable -- its
         # scheduler.step() at pretrain.py:311 passes no metric, which
@@ -125,6 +128,10 @@ def main(cfg: Config) -> dict:
         logger.metrics(
             epoch, lr=lr, train_loss=loss_m.avg, train_acc=acc_m.avg,
             train_time=train_time, **results,
+        )
+        common.save_rolling(
+            run, state, epoch, cfg,
+            {"best": best, "best_epoch": best_epoch, "kind": "ft_semseg"},
         )
     logger.write(f"final best mIoU {best['miou']:.4f} at epoch {best_epoch}")
     return {"best": best, "best_epoch": best_epoch}

@@ -33,6 +33,13 @@ class Config:
     pc_model_file: str = "pc_model_best"
     img_model_file: str = "img_model_best"
     eval_only: bool = False
+    # crash-resume for the FINETUNE loops: restore the rolling
+    # `model_last` snapshot (full train state + epoch) and continue.
+    # Distinct from `resume`, which in the finetune CLIs means
+    # "bootstrap the backbone from a pretrain checkpoint" (the
+    # reference's only notion of finetune resume, `ft_cls.py:92-101`);
+    # the reference cannot continue a killed finetune at all.
+    resume_training: bool = False
 
     # --- loop sizes (parser.py:32-39)
     epochs: int = 300
