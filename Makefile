@@ -1,7 +1,12 @@
-.PHONY: test test-tpu bench viz profile clean
+.PHONY: test test-tpu bench viz profile clean check-docs
 
-test:
+test: check-docs
 	python -m pytest tests/ -x -q
+
+# README perf table must match the latest BENCH_r*.json (stale docs were
+# flagged by three consecutive round verdicts; this makes it mechanical)
+check-docs:
+	python tools/check_readme_numbers.py
 
 # hardware-gated validation on the real chip (skipped in the CPU suite):
 # flash-train dropout parity, compiled-Mosaic Group2Emb parity, and the
