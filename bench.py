@@ -219,20 +219,7 @@ def bench_train_step(batch_size: int = 192, reps: int = 4):
         {"pc": pc_stats, "img": img_stats},
     )
     step = make_pretrain_step(cfg, pc_model, img_model, tx, neg_groups=1)
-
-    from vipformer_tpu.utils.cache import train_key
-
-    key = train_key(0)
-    state, m = step(state, batch, 1e-3, key)  # compile
-    float(m["loss"])  # barrier
-    times = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(4):
-            state, m = step(state, batch, 1e-3, key)
-        float(m["loss"])  # barrier through the scalar fetch
-        times.append((time.perf_counter() - t0) / 4)
-    sec = float(np.median(times))
+    sec = _time_chained_steps(step, state, batch, reps)
     return {
         "batch": batch_size,
         "step_s": sec,
@@ -241,24 +228,50 @@ def bench_train_step(batch_size: int = 192, reps: int = 4):
     }
 
 
-def _time_steps(step, state, batch, reps: int = 4, inner: int = 4):
-    """Median per-step seconds of a jitted train step (chained `inner`
-    calls per timing, scalar-fetch barrier — same protocol as
-    bench_train_step; on the tunneled backend only chained timings
-    reflect device time)."""
+def _time_chained_steps(step, state, batch, reps: int = 4):
+    """Median per-step device seconds of a jitted train step.
+
+    K steps run inside ONE executable (lax.fori_loop carrying the train
+    state; the dropout key folds per iteration so no compute hoists) and
+    two K values are differenced — the exact protocol bench_forward uses.
+    The previous per-dispatch loop measured ~9 ms/step of tunnel dispatch
+    latency on top of device time (r4 profile: jit_step device wall
+    94.6 ms vs 103.4 ms per-dispatch at B=192); production streams steps
+    asynchronously and never pays that floor.
+    """
     from vipformer_tpu.utils.cache import train_key
 
     key = train_key(0)
-    state, m = step(state, batch, 1e-3, key)  # compile
-    float(m["loss"])
-    times = []
+
+    @jax.jit
+    def chain(st, b, k):
+        def body(i, carry):
+            st, _ = carry
+            st, m = step(st, b, 1e-3, jax.random.fold_in(key, i))
+            return (st, m["loss"])
+
+        _, last = jax.lax.fori_loop(
+            0, k, body, (st, jnp.float32(0))
+        )
+        return last
+
+    k1, k2 = 1, 5
+
+    def run(k):
+        return float(chain(state, batch, jnp.int32(k)))
+
+    run(k1)  # compile + warmup
+    t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(inner):
-            state, m = step(state, batch, 1e-3, key)
-        float(m["loss"])
-        times.append((time.perf_counter() - t0) / inner)
-    return float(np.median(times))
+        run(k1)
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(k2)
+        t2s.append(time.perf_counter() - t0)
+    return max(
+        (float(np.median(t2s)) - float(np.median(t1s))) / (k2 - k1), 1e-9
+    )
 
 
 def bench_ft_cls_train(batch_size: int = 160, reps: int = 4):
@@ -294,7 +307,7 @@ def bench_ft_cls_train(batch_size: int = 160, reps: int = 4):
     }
     params, stats = init_variables(model, (batch["points"],))
     state, tx = create_state(cfg, params, stats)
-    sec = _time_steps(make_cls_step(cfg, model, tx), state, batch, reps)
+    sec = _time_chained_steps(make_cls_step(cfg, model, tx), state, batch, reps)
     return {
         "batch": batch_size,
         "step_s": sec,
@@ -348,7 +361,7 @@ def bench_partseg_train(batch_size: int = 96, reps: int = 4):
     onehot = jnp.zeros((batch_size, 16), jnp.float32)
     params, stats = init_variables(model, (pts, onehot))
     state, tx = create_state(cfg, params, stats)
-    sec = _time_steps(make_partseg_step(cfg, model, tx), state, batch, reps)
+    sec = _time_chained_steps(make_partseg_step(cfg, model, tx), state, batch, reps)
     return {
         "batch": batch_size,
         "step_s": sec,
