@@ -587,10 +587,10 @@ def _bwd_kv_kernel(scale, h, rate, dt_np, seed_ref, q_ref, x_ref, lns_ref,
     do = do_ref[...]
     dh = q.shape[2] // h
     bt, mc, din = xhat.shape
-    dxn = jnp.zeros((bt, mc, din), jnp.float32)
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0], i * 4096 + j)  # same stream as fwd
     xn2 = xn_f.reshape(bt * mc, din)
+    dk_heads, dv_heads = [], []
     for head in range(h):
         sl = slice(head * dh, (head + 1) * dh)
         q_h = q[:, :, sl].astype(jnp.float32)
@@ -604,47 +604,53 @@ def _bwd_kv_kernel(scale, h, rate, dt_np, seed_ref, q_ref, x_ref, lns_ref,
             pd = p
         do_h = do[:, :, sl].astype(jnp.float32)
         v_h = v[:, :, sl].astype(jnp.float32)
-        dv_h = _bdot(pd, do_h, 1, 1)  # [BT, Mc, dh] f32
+        dv_heads.append(_bdot(pd, do_h, 1, 1))  # [BT, Mc, dh] f32
         dpd = _bdot(do_h, v_h, 2, 2)
         ds = (
             pd * dpd - p * delta_ref[:, head, :][:, :, None]
         ) * scale
         dq_acc[head] += _bdot(ds, k_h, 2, 1)
-        dk_h = _bdot(ds, q_h, 1, 1)  # [BT, Mc, dh] f32
-        # weight grads accumulate in VMEM across the whole grid; column
-        # slices per head keep everything [*, dh]-blocked
-        dwk_ref[:, sl] += jax.lax.dot_general(
-            xn2, dk_h.reshape(bt * mc, dh), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        dwv_ref[:, sl] += jax.lax.dot_general(
-            xn2, dv_h.reshape(bt * mc, dh), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
-        )
-        # dxn += dk_h Wk_sl^T + dv_h Wv_sl^T (contract the head width)
-        wk_sl = wk[:, sl].astype(jnp.float32)  # [Din, dh]
-        wv_sl = wv[:, sl].astype(jnp.float32)
-        if bt == 1:
-            dxn = dxn + (
-                jax.lax.dot_general(
-                    dk_h[0], wk_sl, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + jax.lax.dot_general(
-                    dv_h[0], wv_sl, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )[None]
-        else:
-            dxn = dxn + jax.lax.dot_general(
-                dk_h, wk_sl, (((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + jax.lax.dot_general(
-                dv_h, wv_sl, (((2,), (1,)), ((), ())),
+        dk_heads.append(_bdot(ds, q_h, 1, 1))  # [BT, Mc, dh] f32
+
+    # weight grads + dxn in FULL-WIDTH dots. The r3 version issued
+    # per-head dW dots (output width dh=64 — half the MXU's 128-lane
+    # result tile idles) and per-head dxn dots (contraction depth
+    # dh=64 — half the systolic rows idle); concatenating the per-head
+    # slices first makes both contract/emit at D=256 and cut the CA bwd
+    # bucket 9.6 -> measured-below ms at pretrain dims.
+    dk_full = jnp.concatenate(dk_heads, axis=2)  # [BT, Mc, D] f32
+    dv_full = jnp.concatenate(dv_heads, axis=2)
+    dwk_ref[...] += jax.lax.dot_general(
+        xn2, dk_full.reshape(bt * mc, -1), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    dwv_ref[...] += jax.lax.dot_general(
+        xn2, dv_full.reshape(bt * mc, -1), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    wk_f = wk.astype(jnp.float32)  # [Din, D]
+    wv_f = wv.astype(jnp.float32)
+    if bt == 1:
+        dxn = (
+            jax.lax.dot_general(
+                dk_full[0], wk_f, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            + jax.lax.dot_general(
+                dv_full[0], wv_f, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )[None]
+    else:
+        dxn = jax.lax.dot_general(
+            dk_full, wk_f, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            dv_full, wv_f, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     # LayerNorm backward (chunk-local: LN is rowwise over Din)
     dxn2 = dxn.reshape(bt * mc, din)
@@ -674,13 +680,21 @@ def _kv_blocking(b, g, d, m, din, kv_chunk):
     row carries x (bf16), dx (bf16), xhat/dxn (f32), xn f32+cast ~= 18*din
     bytes, and the weights + dW accumulators hold ~0.75 MB of VMEM."""
     if kv_chunk is None:
-        col_cost = 2 * d + 8 * d + 24 * g + 18 * din
+        # + 8*d: the concatenated dk_full/dv_full f32 accumulators the
+        # full-width dW/dxn dots need (r4)
+        col_cost = 2 * d + 8 * d + 8 * d + 24 * g + 18 * din
         fixed = 6 * din * d + 2 * 4 * din  # wk/wv (bf16) + dwk/dwv (f32)
         cap = max(_LANES, min(2048, (_VMEM_BUDGET - fixed) // col_cost))
         mc = _kv_chunk_for(m, cap)
     else:
         mc = kv_chunk
-    bt = _auto_bt(b, g, d, mc)
+    # bt picker with the kv kernel's own per-row cost (the plain
+    # _cell_cost omits the x/xhat/dxn/dk_full/dv_full columns)
+    per_row = _cell_cost(g, d, mc) + mc * (8 * d + 18 * din)
+    bt = 1
+    for cand in range(2, 9):
+        if b % cand == 0 and cand * per_row <= _VMEM_BUDGET:
+            bt = cand
     return mc, bt
 
 
