@@ -29,8 +29,17 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-RUN_DIR = "/tmp/soak_r3/runs"
-DATA_DIR = "/tmp/soak_r3/data"
+# set by main() from --art_name so different soaks never clobber each other
+TMP_ROOT = "/tmp/soak_r3"
+RUN_DIR = TMP_ROOT + "/runs"
+DATA_DIR = TMP_ROOT + "/data"
+
+
+def set_art_root(art_name: str) -> None:
+    global TMP_ROOT, RUN_DIR, DATA_DIR
+    TMP_ROOT = "/tmp/" + art_name
+    RUN_DIR = TMP_ROOT + "/runs"
+    DATA_DIR = TMP_ROOT + "/data"
 EXP = "soak"
 PROJ = "ViPFormerTPU"
 
@@ -48,8 +57,8 @@ def cli_args(cfg_overrides):
         "--device_augs", "true",
         "--compute_dtype", "bfloat16",
         "--optim", "adamw", "--lr", "1e-3",
-        "--scheduler", "coswarm", "--step_size", "75", "--warm_epochs", "5",
-        "--max_lr", "1e-3", "--min_lr", "1e-5", "--gamma", "0.8",
+        "--scheduler", "coswarm", "--warm_epochs", "5",
+        "--max_lr", "1e-3",
         "--atten_drop", "0.1", "--mlp_drop", "0.5", "--max_dpr", "0.0",
         "--save_freq", "5", "--print_freq", "200",
         "--run_dir", RUN_DIR, "--data_dir", DATA_DIR, "--exp_name", EXP,
@@ -140,6 +149,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=240)
     ap.add_argument("--step_size", type=int, default=75)
+    ap.add_argument("--gamma", type=float, default=0.8)
+    ap.add_argument("--min_lr", type=float, default=1e-5)
+    ap.add_argument("--art_name", default="soak_r3")
     ap.add_argument("--kill_after_s", type=int, default=3000)
     ap.add_argument("--analyze_only", action="store_true")
     ap.add_argument(
@@ -161,11 +173,17 @@ def main():
             "compute_dtype": "float32", "save_freq": 2,
         }
 
+    art_name = "soak_smoke" if args.smoke else args.art_name
+    set_art_root(art_name)
+    sched = {
+        "epochs": args.epochs, "step_size": args.step_size,
+        "gamma": args.gamma, "min_lr": args.min_lr,
+    }
     if not args.analyze_only:
-        shutil.rmtree("/tmp/soak_r3", ignore_errors=True)
+        shutil.rmtree(TMP_ROOT, ignore_errors=True)
         rc = run_phase(
             "initial (will be killed mid-run)",
-            {"epochs": args.epochs, "step_size": args.step_size, **smoke},
+            {**sched, **smoke},
             timeout_s=args.kill_after_s,
         )
         # rc 137/124 = killed by timeout, the expected path; rc 0 means the
@@ -173,14 +191,11 @@ def main():
         print(f"phase A rc={rc} (137/124 = killed as planned)")
         rc = run_phase(
             "resume to completion",
-            {"epochs": args.epochs, "step_size": args.step_size,
-             "resume": "true", **smoke},
+            {**sched, "resume": "true", **smoke},
         )
         if rc != 0:
             print("resume phase FAILED", file=sys.stderr)
             sys.exit(2)
-    # smoke runs must not clobber the archived real-run artifacts
-    art_name = "soak_smoke" if args.smoke else "soak_r3"
     sys.exit(0 if analyze(args.epochs, args.step_size, art_name) else 1)
 
 
