@@ -5,10 +5,11 @@ probes the features with the on-device linear SVM, and serves predictions
 through the bucketed inference wrapper — everything the CLI entry points do,
 composed by hand.
 
-Run: python examples/quickstart.py    (tiny sizes, pinned to CPU — the
-toy dimensions used here for speed trip an upstream XLA TPU compiler crash
-[SIGABRT in pad lowering at latents<32/groups<16 eval graphs]; production
-shapes compile fine on TPU, see bench.py / __graft_entry__.py)
+Run: python examples/quickstart.py    (tiny sizes; runs on CPU or TPU.
+The toy dims used to SIGABRT the XLA TPU compiler — fusion_util.cc
+TransformWindow check-fail on the Group2Emb broadcast+concat+reduce graph
+at G=16/S=8 — until Dense grew the implicit-concat split-dot path that
+avoids the offending fusion; see tools/repro_pad_crash.py for the probes.)
 """
 
 import sys, os
@@ -17,8 +18,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
-
-jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from vipformer_tpu.config import Config

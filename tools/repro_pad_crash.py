@@ -83,9 +83,7 @@ def probe_stem_eval():
     pts = jnp.asarray(
         np.random.default_rng(0).standard_normal((B, N, 3)), jnp.float32
     )
-    out = jax.jit(
-        lambda x: divide_patches(x, 16, 8, deterministic=True)
-    )(pts)
+    out = jax.jit(lambda x: divide_patches(x, 16, 8))(pts)
     jax.block_until_ready(out)
 
 

@@ -58,8 +58,18 @@ class Dense(nn.Module):
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        fan_in = x.shape[-1]
+    def __call__(self, x) -> Array:
+        # A tuple input means "implicit channel concat": the params are
+        # identical to Dense over the concatenation, but the forward runs
+        # one dot per segment and sums (concat([a, b]) @ W == a @ W[:ca]
+        # + b @ W[ca:]). Segments broadcast against each other, so a
+        # [B,G,1,C] global feature paired with a [B,G,S,C] local one never
+        # materializes the [B,G,S,2C] broadcast-concat — less HBM traffic,
+        # and it sidesteps an XLA TPU fusion check-fail (TransformWindow
+        # "Loop will not make progress") that the fused broadcast+concat+
+        # reduce graph trips at degenerate patch shapes (G=16, S=8 eval).
+        segments = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        fan_in = sum(s.shape[-1] for s in segments)
         kernel = self.param(
             "kernel", torch_linear_kernel(), (fan_in, self.features)
         )
@@ -68,9 +78,23 @@ class Dense(nn.Module):
             if self.use_bias
             else None
         )
-        x, kernel, bias = nn.dtypes.promote_dtype(
-            x, kernel, bias, dtype=self.dtype
+        promoted = nn.dtypes.promote_dtype(
+            *segments, kernel, bias, dtype=self.dtype
         )
+        segments, kernel, bias = promoted[:-2], promoted[-2], promoted[-1]
+
+        if len(segments) > 1:
+            y = None
+            off = 0
+            for s in segments:
+                part = jnp.einsum(
+                    "...i,ij->...j", s, kernel[off : off + s.shape[-1]],
+                    preferred_element_type=s.dtype,
+                )
+                y = part if y is None else y + part
+                off += s.shape[-1]
+            return y if bias is None else y + bias
+        x = segments[0]
 
         from vipformer_tpu.ops.pallas.dense import (
             dense_apply,

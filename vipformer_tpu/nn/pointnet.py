@@ -62,10 +62,9 @@ class Group2Emb(nn.Module):
         x = jax.nn.relu(x)
         x = Dense(128, dtype=self.dtype)(x)  # [B, G, S, 128]
         global_feat = jnp.max(x, axis=2, keepdims=True)  # [B, G, 1, 128]
-        x = jnp.concatenate(
-            [jnp.broadcast_to(global_feat, x.shape), x], axis=-1
-        )  # [B, G, S, 256]
-        x = Dense(256, dtype=self.dtype)(x)
+        # implicit-concat Dense: cat[global, local] @ W without ever
+        # materializing the [B, G, S, 256] broadcast concat (see Dense)
+        x = Dense(256, dtype=self.dtype)((global_feat, x))
         x = batch_norm(deterministic, self.dtype)(x)
         x = jax.nn.relu(x)
         x = Dense(self.dim_model, dtype=self.dtype)(x)
