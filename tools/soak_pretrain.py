@@ -153,6 +153,14 @@ def main():
     ap.add_argument("--min_lr", type=float, default=1e-5)
     ap.add_argument("--art_name", default="soak_r3")
     ap.add_argument("--kill_after_s", type=int, default=3000)
+    ap.add_argument(
+        "--synthetic_size", type=int, default=12288,
+        help="train-split size; at batch 64 this sets steps/epoch, the "
+        "knob that fits a full 300-epoch lr schedule into a wall-clock "
+        "budget (the lr trajectory — warmup, coswarm restarts, decay — "
+        "is per-EPOCH, so shrinking steps/epoch rehearses the exact "
+        "reference schedule at proportionally less data/epoch)",
+    )
     ap.add_argument("--analyze_only", action="store_true")
     ap.add_argument(
         "--smoke", action="store_true",
@@ -179,6 +187,8 @@ def main():
         "epochs": args.epochs, "step_size": args.step_size,
         "gamma": args.gamma, "min_lr": args.min_lr,
     }
+    if not args.smoke:
+        sched["synthetic_size"] = args.synthetic_size
     if not args.analyze_only:
         shutil.rmtree(TMP_ROOT, ignore_errors=True)
         rc = run_phase(
