@@ -93,13 +93,31 @@ def cli_args(spec, overrides):
     return args
 
 
-def run_phase(spec, label, overrides, timeout_s=None):
-    print(f"=== {spec['task']} phase: {label} (timeout={timeout_s}) ===",
-          flush=True)
+def run_phase(spec, label, overrides, kill_after_s=None):
+    """Run one CLI phase; if kill_after_s is set, SIGKILL the process
+    that many seconds AFTER the first rolling model_last snapshot
+    appears (a wall-clock-anchored kill can land inside the multi-minute
+    first compile, before any snapshot exists — then the 'resume' phase
+    silently starts fresh and the soak proves nothing)."""
+    print(f"=== {spec['task']} phase: {label} "
+          f"(kill_after_snapshot={kill_after_s}) ===", flush=True)
     cmd = cli_args(spec, overrides)
-    if timeout_s:
-        cmd = ["timeout", "--signal=KILL", str(timeout_s)] + cmd
-    proc = subprocess.run(cmd, cwd=REPO)
+    proc = subprocess.Popen(cmd, cwd=REPO)
+    if kill_after_s is None:
+        proc.wait()
+    else:
+        import time
+        snap = os.path.join(TMP_ROOT, "runs", PROJ, spec["exp_name"],
+                            "models", "model_last.ckpt")
+        deadline = None
+        while proc.poll() is None:
+            time.sleep(2)
+            if deadline is None and os.path.exists(snap):
+                deadline = time.monotonic() + kill_after_s
+            if deadline is not None and time.monotonic() >= deadline:
+                proc.kill()
+                proc.wait()
+                break
     print(f"=== {label} exited rc={proc.returncode} ===", flush=True)
     return proc.returncode
 
@@ -175,7 +193,7 @@ def soak_one(spec, args):
         shutil.rmtree(run_root, ignore_errors=True)
         rc = run_phase(
             spec, "initial (will be SIGKILLed mid-run)", sched,
-            timeout_s=args.kill_after_s,
+            kill_after_s=args.kill_after_s,
         )
         print(f"phase A rc={rc} (137/124 = killed as planned)")
         # NOTE --resume means "bootstrap backbone from a pretrain ckpt" in
@@ -197,8 +215,11 @@ def main():
     ap.add_argument("--step_size", type=int, default=100)
     ap.add_argument("--gamma", type=float, default=0.6)
     ap.add_argument("--art_name", default="soak_ft_r4")
-    ap.add_argument("--kill_after_s", type=int, default=300,
-                    help="SIGKILL the first phase after this many seconds")
+    ap.add_argument("--kill_after_s", type=int, default=120,
+                    help="SIGKILL the first phase this many seconds after "
+                    "its first rolling snapshot lands (anchoring to the "
+                    "snapshot, not the wall clock, keeps the kill out of "
+                    "the first compile)")
     ap.add_argument("--analyze_only", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny-arch CPU dry run of the harness (~3 min)")
@@ -207,7 +228,7 @@ def main():
     global TMP_ROOT
     if args.smoke:
         os.environ["VIPFORMER_PLATFORM"] = "cpu"
-        args.epochs, args.step_size, args.kill_after_s = 8, 3, 75
+        args.epochs, args.step_size, args.kill_after_s = 8, 3, 8
         args.art_name = "soak_ft_smoke"
         for spec in (CLS, PARTSEG):
             spec["flags"].update(
