@@ -14,6 +14,8 @@ Usage:
   python tools/profile_ops.py pretrain [batch]   # full dual-branch step
   python tools/profile_ops.py img_train [batch]  # image branch fwd+bwd
   python tools/profile_ops.py pc_train [batch]   # pc branch fwd+bwd
+  python tools/profile_ops.py partseg [batch]    # TABLE III eval forward
+  python tools/profile_ops.py partseg_train [b]  # TABLE III train step
 Artifacts: trace under /tmp/vipformer_trace*, summary to stdout.
 """
 
@@ -164,6 +166,72 @@ def make_workload(name: str, batch: int):
             for _ in range(ITERS):
                 out = fwd_bwd(params, x)
             jax.block_until_ready(out)
+
+        run()
+        return run
+
+    if name in ("partseg", "partseg_train"):
+        # TABLE III workload (reference ft_partseg.py:135-219): H6D384
+        # 12-layer encoder, taps (2,6,10), FeaturePropagation dense
+        # decode, BN-heavy heads — same config as bench.bench_partseg*
+        from vipformer_tpu.models import build_ft_partseg
+        from vipformer_tpu.train import (
+            create_state,
+            init_variables,
+            make_partseg_step,
+        )
+
+        on_tpu = jax.default_backend() == "tpu"
+        cfg = Config(
+            compute_dtype="bfloat16" if on_tpu else "float32",
+            num_latent_channels=384, num_ca_heads=6, num_sa_heads=6,
+            num_sa_layers=12, mlp_widen_factor=4, layer_idx=(2, 6, 10),
+            optim="adamw", lr=1e-3,
+            max_dpr=0.1, atten_drop=0.0, mlp_drop=0.0,
+            batch_size=batch,
+        )
+        model = build_ft_partseg(cfg)
+        pts = jnp.asarray(
+            rng.standard_normal((batch, 1024, 3)), jnp.float32
+        )
+        onehot = jnp.zeros((batch, 16), jnp.float32)
+        if name == "partseg":
+            variables = model.init(
+                {"params": jax.random.key(0)}, pts, onehot
+            )
+            fwd = jax.jit(
+                lambda v, x, oh: jnp.sum(
+                    model.apply(v, x, oh, deterministic=True)
+                ).astype(jnp.float32)
+            )
+
+            def run():
+                for _ in range(ITERS):
+                    out = fwd(variables, pts, onehot)
+                jax.block_until_ready(out)
+
+            run()
+            return run
+
+        batch_d = {
+            "points": pts,
+            "seg": jnp.asarray(
+                rng.integers(0, 50, size=(batch, 1024)), jnp.int32
+            ),
+            "obj_labels": jnp.asarray(
+                rng.integers(0, 16, size=(batch,)), jnp.int32
+            ),
+        }
+        params, stats = init_variables(model, (pts, onehot))
+        state, tx = create_state(cfg, params, stats)
+        step = make_partseg_step(cfg, model, tx)
+        key = train_key(0)
+
+        def run():
+            nonlocal state
+            for _ in range(ITERS):
+                state, m = step(state, batch_d, 1e-3, key)
+            jax.block_until_ready(m["loss"])
 
         run()
         return run

@@ -394,13 +394,20 @@ class LabelConv(nn.Module):
 class SegHead(nn.Module):
     """Dense decode head: Dense 512 -> BN -> ReLU -> Dropout(0.5) ->
     Dense 256 -> BN -> ReLU -> Dense(classes)
-    (reference `pointcloud/partseg.py:399-405,460-466`)."""
+    (reference `pointcloud/partseg.py:399-405,460-466`).
+
+    `x` may be a tuple of channel segments (implicit-concat Dense,
+    nn.layers.Dense) — the seg models pass (per-point feats [B,N,Dp],
+    global feats [B,1,Dg]) so the first Dense computes the global
+    segment's product ONCE per cloud and broadcast-adds it, instead of
+    re-multiplying identical rows N times over a materialized
+    [B,N,Dp+Dg] broadcast-concat. Same parameter tree either way."""
 
     num_classes: int
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x, deterministic: bool = True) -> Array:
         x = Dense(512, dtype=self.dtype)(x)
         x = batch_norm(deterministic, self.dtype)(x)
         x = jax.nn.relu(x)
@@ -465,10 +472,14 @@ class CrossFormerPartSeg(nn.Module):
         label_feat = LabelConv(dtype=self.dtype, name="label_conv")(
             cls_onehot.astype(x.dtype), deterministic
         )
-        global_feat = jnp.concatenate([x_max, x_avg, label_feat], axis=-1)
-        global_feat = jnp.broadcast_to(
-            global_feat[:, None, :], (B, N, global_feat.shape[-1])
-        )
+        # [B, 1, Dg]: stays un-broadcast — the seg head consumes it as an
+        # implicit-concat segment (reference materializes the repeat at
+        # partseg.py:451-453; per-cloud product + broadcast-add is the
+        # same math minus ~2*N*Dg*512 redundant FLOPs and the [B,N,Dp+Dg]
+        # concat's HBM round-trip)
+        global_feat = jnp.concatenate(
+            [x_max, x_avg, label_feat], axis=-1
+        )[:, None, :]
 
         xyz = pts[..., :3]
         f0 = FeaturePropagation(
@@ -477,10 +488,9 @@ class CrossFormerPartSeg(nn.Module):
             name="propagation",
         )(xyz, centers[..., :3], xyz.astype(x.dtype), x, deterministic)
 
-        x = jnp.concatenate([f0, global_feat], axis=-1)
         return SegHead(
             self.num_part_classes, dtype=self.dtype, name="seg_head"
-        )(x, deterministic)
+        )((f0, global_feat.astype(f0.dtype)), deterministic)
 
 
 class CrossFormerSemSeg(nn.Module):
@@ -537,10 +547,8 @@ class CrossFormerSemSeg(nn.Module):
 
         x_max = jnp.max(x, axis=1)
         x_avg = jnp.mean(x, axis=1)
-        global_feat = jnp.concatenate([x_max, x_avg], axis=-1)
-        global_feat = jnp.broadcast_to(
-            global_feat[:, None, :], (B, N, global_feat.shape[-1])
-        )
+        # un-broadcast [B, 1, Dg] implicit-concat segment (see partseg)
+        global_feat = jnp.concatenate([x_max, x_avg], axis=-1)[:, None, :]
 
         xyz = pts[..., :3]
         f0 = FeaturePropagation(
@@ -549,7 +557,7 @@ class CrossFormerSemSeg(nn.Module):
             name="propagation",
         )(xyz, centers[..., :3], xyz.astype(x.dtype), x, deterministic)
 
-        x = jnp.concatenate([f0, global_feat], axis=-1)
+        x = (f0, global_feat.astype(f0.dtype))
         return SegHead(
             self.num_obj_classes, dtype=self.dtype, name="seg_head"
         )(x, deterministic)

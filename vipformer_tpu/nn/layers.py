@@ -68,7 +68,22 @@ class Dense(nn.Module):
         # and it sidesteps an XLA TPU fusion check-fail (TransformWindow
         # "Loop will not make progress") that the fused broadcast+concat+
         # reduce graph trips at degenerate patch shapes (G=16, S=8 eval).
-        segments = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        # A segment may also be an (array, post_fn) pair: post_fn is
+        # applied to that segment's product before the sum, which hoists
+        # this Dense through a LINEAR operator the caller would otherwise
+        # apply to the segment first (L(x) @ W == L(x @ W)) — e.g. the
+        # seg decode's 3-NN interpolation runs the widest matmul of the
+        # model on S group rows instead of N point rows.
+        raw = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        segments, posts = [], []
+        for s in raw:
+            if isinstance(s, tuple):
+                segments.append(s[0])
+                posts.append(s[1])
+            else:
+                segments.append(s)
+                posts.append(None)
+        segments = tuple(segments)
         fan_in = sum(s.shape[-1] for s in segments)
         kernel = self.param(
             "kernel", torch_linear_kernel(), (fan_in, self.features)
@@ -83,14 +98,16 @@ class Dense(nn.Module):
         )
         segments, kernel, bias = promoted[:-2], promoted[-2], promoted[-1]
 
-        if len(segments) > 1:
+        if len(segments) > 1 or posts[0] is not None:
             y = None
             off = 0
-            for s in segments:
+            for s, post in zip(segments, posts):
                 part = jnp.einsum(
                     "...i,ij->...j", s, kernel[off : off + s.shape[-1]],
                     preferred_element_type=s.dtype,
                 )
+                if post is not None:
+                    part = post(part)
                 y = part if y is None else y + part
                 off += s.shape[-1]
             return y if bias is None else y + bias

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from vipformer_tpu.nn.layers import Dense, batch_norm, gelu_exact, layer_norm
-from vipformer_tpu.ops.geometry import three_nn_interpolate
+from vipformer_tpu.ops.geometry import three_nn_weights
 
 Array = jax.Array
 Dtype = Any
@@ -145,13 +145,38 @@ class FeaturePropagation(nn.Module):
         feats_src: Array,  # [B, S, Ds] features to upsample
         deterministic: bool = True,
     ) -> Array:
-        x = three_nn_interpolate(xyz_dst, xyz_src, feats_src)
-        if feats_dst is not None:
-            x = jnp.concatenate([feats_dst, x.astype(feats_dst.dtype)], -1)
+        # The first Dense is hoisted THROUGH the interpolation: 3-NN
+        # upsampling is linear in the features, so
+        #   interp(feats_src) @ W == interp(feats_src @ W)
+        # and the widest matmul of the decode runs on S = num_groups
+        # source rows instead of N point rows (~16x fewer rows at the
+        # partseg shapes; the [B, N, Ds] interpolated activation is never
+        # materialized at all). The skip features join as an
+        # implicit-concat segment (nn.layers.Dense), so the parameter
+        # tree is identical to Dense over concat([skip, interp]).
+        wmat = three_nn_weights(xyz_dst, xyz_src)  # [B, N, S]
+
+        def interp(h: Array) -> Array:
+            return jnp.einsum(
+                "bns,bsd->bnd", wmat.astype(h.dtype), h,
+                preferred_element_type=h.dtype,
+            )
+
+        src = (
+            feats_src.astype(feats_dst.dtype)
+            if feats_dst is not None
+            else feats_src
+        )
+        inp = (
+            (feats_dst, (src, interp))
+            if feats_dst is not None
+            else ((src, interp),)
+        )
         for width in self.mlp:
-            x = Dense(width, dtype=self.dtype)(x)
+            x = Dense(width, dtype=self.dtype)(inp)
             x = batch_norm(deterministic, self.dtype)(x)
             x = jax.nn.relu(x)
+            inp = x
         return x
 
 

@@ -6,6 +6,7 @@ from vipformer_tpu.ops.geometry import (
     knn,
     square_distance,
     three_nn_interpolate,
+    three_nn_weights,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "knn",
     "square_distance",
     "three_nn_interpolate",
+    "three_nn_weights",
 ]

@@ -369,10 +369,39 @@ def three_nn_interpolate(
     distance matrix; here `top_k(3)` (S is small so either is cheap, but
     top_k avoids materializing a sorted matrix).
     """
+    wmat = three_nn_weights(xyz_dst, xyz_src, eps)
+    return jnp.einsum(
+        "bns,bsd->bnd",
+        wmat.astype(feats_src.dtype),
+        feats_src,
+        preferred_element_type=feats_src.dtype,
+    )
+
+
+def three_nn_weights(
+    xyz_dst: Array, xyz_src: Array, eps: float = 1e-8
+) -> Array:
+    """Row-stochastic inverse-distance 3-NN weight matrix [B, N, S].
+
+    The three per-point weights are scattered into a dense [B, N, S]
+    matrix so interpolation is ONE batched MXU matmul
+    (`wmat @ feats_src`). The gather-then-weight form (index_points ->
+    [B, N, 3, D] -> weighted sum) materializes 3x the output in HBM and
+    backpropagates into feats_src through a scatter; the dense form is
+    well-shaped matmuls both directions (S = num_groups is small, so the
+    S-wide product beats the gather traffic: 2*S flops/elem vs ~12
+    bytes/elem at S=128). Exposed separately because the matrix form
+    also lets callers hoist a following linear layer through the
+    interpolation (`wmat @ x @ W == wmat @ (x @ W)` — see
+    nn.pointnet.FeaturePropagation).
+    """
     d = square_distance(xyz_dst, xyz_src)  # [B, N, S]
     neg_top, idx = jax.lax.top_k(-d, 3)  # nearest three
     dist = -neg_top
     w = 1.0 / (dist + eps)
     w = w / jnp.sum(w, axis=-1, keepdims=True)
-    gathered = index_points(feats_src, idx)  # [B, N, 3, D]
-    return jnp.sum(gathered * w[..., None].astype(gathered.dtype), axis=2)
+    s = xyz_src.shape[1]
+    src_ids = jax.lax.broadcasted_iota(idx.dtype, (1, 1, 1, s), 3)
+    return jnp.sum(
+        jnp.where(idx[..., None] == src_ids, w[..., None], 0.0), axis=2
+    )
