@@ -237,3 +237,42 @@ def test_perceiver_classifier_pooled_decoder(rng, key):
     logits, feats = model.apply(variables, pts, True)
     assert logits.shape == (2, 10)
     assert feats.shape == (2, 64)  # 2 * num_latent_channels
+
+
+def test_dense_segment_forms_match_concat(rng, key):
+    """nn.layers.Dense's implicit-concat segment forms are exact
+    re-associations of one Dense over the concatenation:
+    * plain segments broadcast against each other ([B,1,C] global vs
+      [B,N,C'] per-point — the seg head's input form);
+    * an (array, post_fn) segment applies a LINEAR post map to that
+      segment's product, hoisting the Dense through it
+      (FeaturePropagation's 3-NN interpolation)."""
+    from vipformer_tpu.nn.layers import Dense
+    from vipformer_tpu.ops.geometry import three_nn_weights
+
+    B, N, S = 2, 16, 6
+    a = jnp.asarray(rng.standard_normal((B, N, 5)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, 1, 7)), jnp.float32)
+    src = jnp.asarray(rng.standard_normal((B, S, 4)), jnp.float32)
+    xyz_dst = jnp.asarray(rng.standard_normal((B, N, 3)), jnp.float32)
+    xyz_src = jnp.asarray(rng.standard_normal((B, S, 3)), jnp.float32)
+    wmat = three_nn_weights(xyz_dst, xyz_src)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(wmat, -1)), np.ones((B, N)), atol=1e-5
+    )
+    assert (np.asarray(wmat) > 0).sum(axis=-1).max() <= 3
+
+    def interp(h):
+        return jnp.einsum("bns,bsd->bnd", wmat, h)
+
+    dense = Dense(8)
+    # one param tree serves every input form (fan_in = 5 + 7 + 4 = 16)
+    variables = dense.init(key, (a, g, (src, interp)))
+    got = dense.apply(variables, (a, g, (src, interp)))
+    want = dense.apply(
+        variables,
+        jnp.concatenate(
+            [a, jnp.broadcast_to(g, (B, N, 7)), interp(src)], axis=-1
+        ),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
