@@ -93,15 +93,20 @@ def cli_args(spec, overrides):
     return args
 
 
-def run_phase(spec, label, overrides, kill_after_s=None):
+def run_phase(spec, label, overrides, kill_after_s=None, timeout_s=None):
     """Run one CLI phase; if kill_after_s is set, SIGKILL the process
     that many seconds AFTER the first rolling model_last snapshot
     appears (a wall-clock-anchored kill can land inside the multi-minute
     first compile, before any snapshot exists — then the 'resume' phase
-    silently starts fresh and the soak proves nothing)."""
+    silently starts fresh and the soak proves nothing). timeout_s caps
+    the incarnation's wall clock (bounded-incarnation chaining — the
+    tunneled backend leaks host RSS on long runs, see
+    soak_pretrain.py --resume_phase_timeout_s)."""
     print(f"=== {spec['task']} phase: {label} "
           f"(kill_after_snapshot={kill_after_s}) ===", flush=True)
     cmd = cli_args(spec, overrides)
+    if timeout_s:
+        cmd = ["timeout", "--signal=KILL", str(timeout_s)] + cmd
     proc = subprocess.Popen(cmd, cwd=REPO)
     if kill_after_s is None:
         proc.wait()
@@ -199,7 +204,14 @@ def soak_one(spec, args):
         # NOTE --resume means "bootstrap backbone from a pretrain ckpt" in
         # the finetune CLIs; crash-resume is --resume_training (model_last)
         rc = run_phase(spec, "resume to completion",
-                       {**sched, "resume_training": "true"})
+                       {**sched, "resume_training": "true"},
+                       timeout_s=args.resume_phase_timeout_s or None)
+        tries = 0
+        while rc != 0 and args.resume_phase_timeout_s and tries < 12:
+            tries += 1
+            rc = run_phase(spec, f"re-resume {tries}",
+                           {**sched, "resume_training": "true"},
+                           timeout_s=args.resume_phase_timeout_s)
         if rc != 0:
             print(f"{spec['task']} resume phase FAILED", file=sys.stderr)
             return False
@@ -220,6 +232,9 @@ def main():
                     "its first rolling snapshot lands (anchoring to the "
                     "snapshot, not the wall clock, keeps the kill out of "
                     "the first compile)")
+    ap.add_argument("--resume_phase_timeout_s", type=int, default=3300,
+                    help="cap each resume incarnation and re-resume until "
+                    "completion (0 = uncapped); see soak_pretrain.py")
     ap.add_argument("--analyze_only", action="store_true")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny-arch CPU dry run of the harness (~3 min)")

@@ -161,6 +161,16 @@ def main():
         "is per-EPOCH, so shrinking steps/epoch rehearses the exact "
         "reference schedule at proportionally less data/epoch)",
     )
+    ap.add_argument(
+        "--resume_phase_timeout_s", type=int, default=3300,
+        help="cap each resume incarnation and re-resume until the run "
+        "completes (0 = uncapped). The tunneled PJRT backend in this "
+        "image leaks host RSS (~0.5 GB/flagship-epoch; the r4 soak's "
+        "uncapped resume reached 130 GB and was OOM-killed at epoch "
+        "112), so long soaks must be driven as a chain of bounded "
+        "incarnations — each boundary exercises the same crash-resume "
+        "path as the planned SIGKILL",
+    )
     ap.add_argument("--analyze_only", action="store_true")
     ap.add_argument(
         "--smoke", action="store_true",
@@ -199,10 +209,21 @@ def main():
         # rc 137/124 = killed by timeout, the expected path; rc 0 means the
         # run finished before the kill (raise kill_after_s to exercise it)
         print(f"phase A rc={rc} (137/124 = killed as planned)")
+        cap = args.resume_phase_timeout_s or None
         rc = run_phase(
             "resume to completion",
             {**sched, "resume": "true", **smoke},
+            timeout_s=cap,
         )
+        tries = 0
+        while rc != 0 and cap and tries < 12:
+            tries += 1
+            rc = run_phase(
+                f"re-resume {tries} (bounded incarnations, see "
+                "--resume_phase_timeout_s)",
+                {**sched, "resume": "true", **smoke},
+                timeout_s=cap,
+            )
         if rc != 0:
             print("resume phase FAILED", file=sys.stderr)
             sys.exit(2)
