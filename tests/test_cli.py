@@ -57,9 +57,13 @@ def test_pretrain_cli(tmp_path):
     assert (models / "pc_model_best.ckpt").exists()
     # periodic save_freq checkpoints too
     assert (models / "pc_model_epoch0.ckpt").exists()
-    # resume continues from the checkpoint without error
+    # resume continues from the checkpoint without error, and the
+    # best-probe tracker survives the restart: the resumed run must never
+    # report a best below the pre-kill best (else pc_model_best gets
+    # silently overwritten by a worse model — seen in the r4 soak)
     out2 = pretrain.main(cfg.replace(resume=True, epochs=3))
     assert out2["best_epoch"] >= 0
+    assert out2["best_acc"] >= out["best_acc"]
 
 
 def test_ft_cls_cli_with_pretrained(tmp_path):

@@ -98,6 +98,7 @@ def main(cfg: Config) -> dict:
 
     state, tx = create_state(cfg, params, stats)
     start_epoch = 0
+    best_acc, best_epoch = 0.0, -1
     if cfg.resume:
         import os as _os
 
@@ -114,8 +115,25 @@ def main(cfg: Config) -> dict:
             state = restored
             from vipformer_tpu.train import load_metadata
 
-            start_epoch = load_metadata(path).get("epoch", -1) + 1
-            logger.write(f"resumed from {path} at epoch {start_epoch}")
+            meta = load_metadata(path)
+            start_epoch = meta.get("epoch", -1) + 1
+            # restore the best-probe tracker, else the first post-resume
+            # epoch silently overwrites pc_model_best with a worse model
+            # (observed in the r4 soak: 0.77@110 clobbered 0.80)
+            best_acc = float(meta.get("best_acc", 0.0))
+            best_epoch = int(meta.get("best_epoch", -1))
+            if best_epoch < 0:
+                # older snapshots lack the fields; fall back to the best
+                # checkpoint's own metadata
+                bp = run.model_path("pc_model_best")
+                if _os.path.exists(bp):
+                    bmeta = load_metadata(bp)
+                    best_acc = float(bmeta.get("svm_test_acc", 0.0))
+                    best_epoch = int(bmeta.get("epoch", -1))
+            logger.write(
+                f"resumed from {path} at epoch {start_epoch} "
+                f"(best probe {best_acc:.4f}@{best_epoch})"
+            )
         else:
             # a run killed before its first save has nothing to resume;
             # start fresh rather than crash (matters for unattended
@@ -129,7 +147,6 @@ def main(cfg: Config) -> dict:
     feats_fn = make_feats_fn(pc_model)
     schedule = Schedule(cfg)
 
-    best_acc, best_epoch = 0.0, -1
     from vipformer_tpu.utils.cache import train_key
 
     key = train_key(cfg.seed)
@@ -191,6 +208,7 @@ def main(cfg: Config) -> dict:
         if cfg.save_freq and (epoch + 1) % cfg.save_freq == 0:
             host_state = jax.device_get(state)
             meta = {"epoch": epoch, "svm_test_acc": test_acc,
+                    "best_acc": best_acc, "best_epoch": best_epoch,
                     "kind": "pretrain"}
             save_checkpoint(
                 run.model_path(f"pc_model_epoch{epoch}"), host_state, meta
