@@ -168,8 +168,9 @@ def test_tp_kernel_dispatch_rules():
     """Kernel dispatch on a TP mesh (r3: shard_map wrappers replaced the
     r2 blanket TP gate): attention kernels stay ON when whole heads divide
     the model axis, fall back to XLA when they don't; the Dense dW/db
-    kernel (feature-sharded activations under Megatron TP) stays OFF; a
-    DP mesh re-enables everything."""
+    kernel runs role-aware (r4 VERDICT weak #5): replicated-kernel Denses
+    use the DP path per model shard, Megatron col/row Denses shard the
+    feature axis, and only an indivisible feature axis falls back."""
     from vipformer_tpu.ops.pallas import shard, tp_kernels_disabled
     from vipformer_tpu.ops.pallas.attention import (
         packed_attention_enabled,
@@ -192,12 +193,22 @@ def test_tp_kernel_dispatch_rules():
         # 3 heads don't divide the model axis: XLA fallback
         assert not packed_attention_enabled(3, 96, 96, 1024, None, 0.0, True)
         assert not flash_train_enabled(3, 96, 96, 128, 2048, None, False)
-        # Dense dW/db kernel: feature-sharded activations under TP
+        # Dense dW/db kernel under TP: live for every role; the psum
+        # axis/feature-shard specs come from the role (ops/pallas/dense)
         pattn.USE_FUSED_ATTENTION = None
         import vipformer_tpu.ops.pallas.dense as pdense
+        from vipformer_tpu.ops.pallas.dense import effective_tp_role
 
         pdense.USE_DENSE_GRAD = True
-        assert not dense_grad_enabled(49152, 256, 256, 2)
+        assert dense_grad_enabled(49152, 256, 256, 2)  # replicated kernel
+        assert dense_grad_enabled(49152, 256, 256, 2, "col")
+        assert dense_grad_enabled(49152, 256, 256, 2, "row")
+        # role normalization: an indivisible sharded axis means the
+        # parameter placement fell back to replicated — so must the role
+        assert effective_tp_role("col", 256, 256) == "col"
+        assert effective_tp_role("row", 256, 256) == "row"
+        assert effective_tp_role("col", 256, 255) is None
+        assert effective_tp_role("row", 255, 256) is None
         pdense.USE_DENSE_GRAD = None
     finally:
         pattn.USE_FUSED_ATTENTION = None

@@ -79,6 +79,63 @@ def test_dense_grads_sharded_psum(rng, dp_mesh):
     np.testing.assert_allclose(gb_f, gb_r, rtol=2e-5, atol=2e-3)
 
 
+@pytest.mark.parametrize("tp_role", [None, "col", "row"])
+def test_dense_grads_tp_roles_match_autodiff(rng, tp_mesh, tp_role):
+    """dense_apply under a DPxTP mesh, per Megatron role (r4 VERDICT weak
+    #5): the backward shard_map must shard the role's feature axis over
+    the model axis (dy for 'col', x for 'row', neither for a
+    replicated-kernel Dense) and psum only over the data axis — grads
+    must equal autodiff of the plain einsum regardless of role."""
+    import vipformer_tpu.ops.pallas.dense as pdense
+
+    x = jnp.asarray(rng.standard_normal((2048, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 128)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((2048, 128)), jnp.float32)
+
+    gx_r, gw_r, gb_r = jax.grad(
+        lambda x, w, b: jnp.sum((jnp.einsum("ri,ij->rj", x, w) + b) * cot),
+        argnums=(0, 1, 2),
+    )(x, w, b)
+
+    pdense.USE_DENSE_GRAD = True
+    try:
+        role = pdense.effective_tp_role(tp_role, 64, 128)
+        assert role == tp_role  # 2-way model axis divides both 64 and 128
+        assert pdense.dense_grad_enabled(2048, 64, 128, 4, role)
+        xs = _shard(tp_mesh, x)
+
+        def fused(x, w, b):
+            return jnp.sum(pdense.dense_apply(x, w, b, role) * cot)
+
+        gx_f, gw_f, gb_f = jax.jit(
+            jax.grad(fused, argnums=(0, 1, 2))
+        )(xs, w, b)
+    finally:
+        pdense.USE_DENSE_GRAD = None
+
+    np.testing.assert_allclose(gx_f, gx_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(gw_f, gw_r, rtol=2e-5, atol=2e-3)
+    np.testing.assert_allclose(gb_f, gb_r, rtol=2e-5, atol=2e-3)
+
+
+def test_dense_module_tp_roles_from_path(tp_mesh):
+    """nn.layers.Dense learns its Megatron role from its own flax path via
+    parallel.sharding.tp_role_for_path — the single source that also
+    places the kernel params — so the backward specs can never disagree
+    with the parameter sharding."""
+    from vipformer_tpu.parallel.sharding import tp_role_for_path
+
+    assert tp_role_for_path("enc/cross/attention/q_proj/kernel") == "col"
+    assert tp_role_for_path("enc/sa0/attention/k_proj/kernel") == "col"
+    assert tp_role_for_path("enc/sa0/attention/v_proj/kernel") == "col"
+    assert tp_role_for_path("enc/sa0/attention/o_proj/kernel") == "row"
+    assert tp_role_for_path("enc/sa0/MLP_0/Dense_0/kernel") == "col"
+    assert tp_role_for_path("enc/sa0/MLP_0/Dense_1/kernel") == "row"
+    assert tp_role_for_path("stem/Dense_0/kernel") is None
+    assert tp_role_for_path("finetune_head/Dense_2/kernel") is None
+
+
 @pytest.mark.parametrize("mesh_fixture", ["dp_mesh", "tp_mesh"])
 def test_flash_train_sharded_matches_direct(rng, request, mesh_fixture):
     """flash_attention_train (rate=0) per-shard == direct single-device

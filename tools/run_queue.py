@@ -39,6 +39,12 @@ def run_job(cmd: str, log_path: str) -> int:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("jobs", nargs="*", help="scripts/commands to run in order")
+    ap.add_argument(
+        "--jobs_file",
+        help="read jobs from a file, one command per line (# comments and "
+        "blank lines skipped) — e.g. scripts/validate/queue.jobs, the "
+        "real-data validation recipe (VALIDATE.md)",
+    )
     ap.add_argument("--retries", type=int, default=1)
     ap.add_argument("--state", default="queue_state.json")
     ap.add_argument("--log_dir", default="queue_logs")
@@ -47,6 +53,13 @@ def main():
     args = ap.parse_args()
 
     os.makedirs(args.log_dir, exist_ok=True)
+    if args.jobs_file:
+        with open(args.jobs_file) as f:
+            args.jobs += [
+                ln.strip()
+                for ln in f
+                if ln.strip() and not ln.lstrip().startswith("#")
+            ]
     if args.resume and os.path.exists(args.state):
         state = json.load(open(args.state))
     else:

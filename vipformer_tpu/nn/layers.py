@@ -113,19 +113,36 @@ class Dense(nn.Module):
             return y if bias is None else y + bias
         x = segments[0]
 
+        from vipformer_tpu.ops.pallas import shard
         from vipformer_tpu.ops.pallas.dense import (
             dense_apply,
             dense_grad_enabled,
+            effective_tp_role,
         )
+
+        tp_role = None
+        if shard.model_size() > 1:
+            # under a TP mesh, learn this Dense's Megatron placement from
+            # the same path rules that sharded its kernel, so the Pallas
+            # backward reduces over the right axes (ops/pallas/dense.py)
+            from vipformer_tpu.parallel.sharding import tp_role_for_path
+
+            tp_role = effective_tp_role(
+                tp_role_for_path("/".join(self.path) + "/kernel"),
+                fan_in,
+                self.features,
+            )
 
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
-        if dense_grad_enabled(rows, fan_in, self.features, x.dtype.itemsize):
+        if dense_grad_enabled(
+            rows, fan_in, self.features, x.dtype.itemsize, tp_role
+        ):
             # same N-D forward einsum; backward routes (dW, db) through the
             # fused Pallas row-stream kernel (XLA's tall-skinny dW emitter
             # runs at 2-5% MFU at these shapes — see ops/pallas/dense.py)
-            return dense_apply(x, kernel, bias)
+            return dense_apply(x, kernel, bias, tp_role)
 
         # preferred_element_type = the compute dtype, NOT f32-then-astype:
         # the MXU accumulates f32 internally and rounds on emit either way
@@ -142,26 +159,31 @@ class Dense(nn.Module):
         return y
 
 
-def _apply_dense_params(x, kernel, bias, dtype):
+def _apply_dense_params(x, kernel, bias, dtype, tp_role=None):
     """nn.layers.Dense's exact math on explicit params (used by the
     kv-fused CrossAttention fast paths, which bypass the Dense modules
     post-init): promote to the compute dtype, one f32-accumulated matmul
     emitted at that dtype, bias added after the cast; backward routes
     (dW, db) through the Pallas row-stream kernel when the shape
-    qualifies, exactly like the module."""
+    qualifies, exactly like the module. `tp_role` is the bypassed
+    module's Megatron placement ('col' for q_proj, 'row' for o_proj) —
+    the caller knows it statically because it is holding that module's
+    params by name."""
     from vipformer_tpu.ops.pallas.dense import (
         dense_apply,
         dense_grad_enabled,
+        effective_tp_role,
     )
 
     x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias, dtype=dtype)
+    tp_role = effective_tp_role(tp_role, kernel.shape[0], kernel.shape[1])
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
     if dense_grad_enabled(
-        rows, kernel.shape[0], kernel.shape[1], x.dtype.itemsize
+        rows, kernel.shape[0], kernel.shape[1], x.dtype.itemsize, tp_role
     ):
-        return dense_apply(x, kernel, bias)
+        return dense_apply(x, kernel, bias, tp_role)
     y = jnp.einsum("...i,ij->...j", x, kernel, preferred_element_type=x.dtype)
     if bias is not None:
         y = y + bias
@@ -481,7 +503,7 @@ class CrossAttention(nn.Module):
             kvn = self.get_variable("params", "kv_norm")
             scale = (qk_ch // self.num_heads) ** -0.5
             q = _apply_dense_params(
-                x_qn, ap["q_proj"]["kernel"], None, self.dtype
+                x_qn, ap["q_proj"]["kernel"], None, self.dtype, "col"
             )
             xk, wk, wv = nn.dtypes.promote_dtype(
                 x_kv, ap["k_proj"]["kernel"], ap["v_proj"]["kernel"],
@@ -500,7 +522,8 @@ class CrossAttention(nn.Module):
                 None, jax.default_backend() != "tpu",
             )
             return _apply_dense_params(
-                o, ap["o_proj"]["kernel"], ap["o_proj"]["bias"], self.dtype
+                o, ap["o_proj"]["kernel"], ap["o_proj"]["bias"], self.dtype,
+                "row",
             )
 
         if not self.is_initializing() and packed_attention_kv_enabled(
@@ -519,7 +542,7 @@ class CrossAttention(nn.Module):
             kvn = self.get_variable("params", "kv_norm")
             scale = (qk_ch // self.num_heads) ** -0.5
             q = _apply_dense_params(
-                x_qn, ap["q_proj"]["kernel"], None, self.dtype
+                x_qn, ap["q_proj"]["kernel"], None, self.dtype, "col"
             )
             xk, wk, wv = nn.dtypes.promote_dtype(
                 x_kv, ap["k_proj"]["kernel"], ap["v_proj"]["kernel"],
@@ -541,7 +564,8 @@ class CrossAttention(nn.Module):
                 num_heads=self.num_heads,
             )
             return _apply_dense_params(
-                o, ap["o_proj"]["kernel"], ap["o_proj"]["bias"], self.dtype
+                o, ap["o_proj"]["kernel"], ap["o_proj"]["bias"], self.dtype,
+                "row",
             )
 
         x_q = layer_norm(self.dtype, name="q_norm")(x_q)

@@ -35,6 +35,19 @@ def _path_str(path) -> str:
     )
 
 
+def tp_role_for_path(path_str: str) -> str | None:
+    """Megatron role of a Dense kernel at a flax path ('.../kernel'):
+    'col' = output features sharded (P(None, model)), 'row' = input
+    features sharded (P(model, None)), None = replicated. Single source
+    of truth shared by `param_shardings` (parameter placement) and
+    nn.layers.Dense (backward-kernel shard specs, ops/pallas/dense.py) —
+    the two must agree or the dW psum reduces over the wrong axis."""
+    for rx, pspec in _TP_RULES:
+        if rx.search(path_str):
+            return "row" if pspec[0] == MODEL_AXIS else "col"
+    return None
+
+
 def param_shardings(variables, mesh: Mesh):
     """NamedSharding pytree for a variables pytree: TP rules on matching
     kernels when the model axis is >1, replicated otherwise."""
@@ -42,12 +55,16 @@ def param_shardings(variables, mesh: Mesh):
 
     def spec(path, leaf):
         if tp and hasattr(leaf, "ndim") and leaf.ndim == 2:
-            s = _path_str(path)
-            for rx, pspec in _TP_RULES:
-                if rx.search(s):
-                    ax = 0 if pspec[0] == MODEL_AXIS else 1
-                    if leaf.shape[ax] % mesh.shape[MODEL_AXIS] == 0:
-                        return NamedSharding(mesh, pspec)
+            role = tp_role_for_path(_path_str(path))
+            if role is not None:
+                ax = 0 if role == "row" else 1
+                if leaf.shape[ax] % mesh.shape[MODEL_AXIS] == 0:
+                    pspec = (
+                        P(MODEL_AXIS, None)
+                        if role == "row"
+                        else P(None, MODEL_AXIS)
+                    )
+                    return NamedSharding(mesh, pspec)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(spec, variables)
