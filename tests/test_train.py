@@ -272,4 +272,37 @@ def test_backbone_restore(rng):
     np.testing.assert_array_equal(out["encoder"]["w"], 2.0)
     np.testing.assert_array_equal(out["finetune_head"]["w"], 5.0)
     assert "latent_head" not in out
-    assert "stem" in msgs[0] and "finetune_head" in msgs[0]
+    assert "2 tensors" in msgs[0] and "finetune_head" in msgs[0]
+
+
+def test_backbone_restore_deeper_finetune(rng):
+    """The reference's partseg recipe restores an 8-SA-layer pretrain into a
+    12-SA-layer finetune encoder via load_state_dict(strict=False)
+    (`ft_partseg.py:83`, `scripts/finetune/ft-partseg.sh --num_sa_layers 12`).
+    The merge must be leaf-wise: layers beyond the pretrain depth keep their
+    fresh init instead of disappearing with a subtree swap."""
+    pre = {"encoder": {"sa_0": {"w": np.ones(2)}, "sa_1": {"w": np.full(2, 2.0)}}}
+    ft = {
+        "encoder": {
+            "sa_0": {"w": np.zeros(2)},
+            "sa_1": {"w": np.zeros(2)},
+            "sa_2": {"w": np.full(2, 7.0)},  # deeper than the pretrain
+        },
+        "head": {"w": np.full(2, 5.0)},
+    }
+    msgs = []
+    out = restore_backbone(ft, pre, ("encoder",), log=msgs.append)
+    np.testing.assert_array_equal(out["encoder"]["sa_0"]["w"], 1.0)
+    np.testing.assert_array_equal(out["encoder"]["sa_1"]["w"], 2.0)
+    np.testing.assert_array_equal(out["encoder"]["sa_2"]["w"], 7.0)
+    np.testing.assert_array_equal(out["head"]["w"], 5.0)
+    assert "encoder/sa_2" in msgs[0], msgs  # fresh layers are reported
+
+
+def test_backbone_restore_shape_mismatch_kept_fresh(rng):
+    pre = {"encoder": {"w": np.ones((4, 4))}}
+    ft = {"encoder": {"w": np.zeros((4, 8))}}
+    msgs = []
+    out = restore_backbone(ft, pre, ("encoder",), log=msgs.append)
+    np.testing.assert_array_equal(out["encoder"]["w"], 0.0)
+    assert "SHAPE MISMATCH" in msgs[0], msgs

@@ -77,32 +77,71 @@ def load_metadata(path: str) -> dict:
         return json.load(f)
 
 
+def _merge_subtree(init, pre, path, restored, fresh, mismatched):
+    """Leaf-wise merge of `pre` into the structure of `init`.
+
+    The output always has `init`'s structure: keys present in both take the
+    checkpoint value (when shapes agree), keys only in `init` keep their
+    fresh initialization, keys only in `pre` are dropped. This is the
+    torch `load_state_dict(strict=False)` contract the reference relies on
+    (`ft_partseg.py:83`) — crucially its partseg finetune builds a *12*-SA-
+    layer encoder and restores an *8*-layer pretrain into it
+    (`scripts/finetune/ft-E1CL8SL-*.sh` pretrain vs our
+    `scripts/finetune/ft-partseg.sh --num_sa_layers 12`), so layers 9-12
+    must survive as fresh init rather than vanish with a subtree swap.
+    """
+    if isinstance(init, dict):
+        out = {}
+        for k, v in init.items():
+            if isinstance(pre, dict) and k in pre:
+                out[k] = _merge_subtree(
+                    v, pre[k], f"{path}/{k}", restored, fresh, mismatched
+                )
+            else:
+                out[k] = v
+                fresh.append(f"{path}/{k}")
+        return out
+    init_shape = getattr(init, "shape", None)
+    pre_shape = getattr(pre, "shape", None)
+    if init_shape == pre_shape:
+        restored.append(path)
+        return pre
+    mismatched.append(f"{path}: ckpt{pre_shape} != model{init_shape}")
+    return init
+
+
 def restore_backbone(
     init_params: dict,
     pretrained_params: dict,
     submodules: Iterable[str] = ("stem", "encoder"),
     log=None,
 ) -> dict:
-    """Copy the named top-level subtrees from a pretrain checkpoint into a
-    freshly initialized finetune parameter tree.
+    """Merge the named top-level subtrees from a pretrain checkpoint into a
+    freshly initialized finetune parameter tree, leaf by leaf.
 
     Equivalent in effect to the reference's `"module."+k` remap +
-    `strict=False` load (`ft_cls.py:92-98`) — the pretrain projection head is
-    dropped, the finetune head keeps its fresh init — but explicit: returns a
-    new tree and reports what happened.
-    """
+    `strict=False` load (`ft_cls.py:92-98`, `ft_partseg.py:83`) — the
+    pretrain projection head is dropped, the finetune head keeps its fresh
+    init, and finetune layers *beyond* the pretrain depth keep theirs — but
+    explicit: returns a new tree and reports exactly which subtrees were
+    restored, which stayed fresh, and any shape mismatches (kept fresh,
+    loudly)."""
     out = dict(init_params)
-    restored, fresh = [], []
+    restored, fresh, mismatched = [], [], []
     for name in init_params:
         if name in submodules and name in pretrained_params:
-            out[name] = pretrained_params[name]
-            restored.append(name)
+            out[name] = _merge_subtree(
+                init_params[name], pretrained_params[name], name,
+                restored, fresh, mismatched,
+            )
         else:
             fresh.append(name)
     msg = (
-        f"backbone restore: loaded {restored} from checkpoint; "
+        f"backbone restore: {len(restored)} tensors from checkpoint; "
         f"fresh init for {fresh}"
     )
+    if mismatched:
+        msg += f"; SHAPE MISMATCH (kept fresh): {mismatched}"
     if log is not None:
         log(msg)
     return out
