@@ -122,6 +122,60 @@ def test_run_queue_retry_and_resume(tmp_path):
     assert not marker.exists()
 
 
+def test_check_validation_gates(tmp_path):
+    """tools/check_validation.py (the final job of the real-data
+    validation queue, VALIDATE.md): jsonl_max takes the run's best
+    metric, log_regex the last log match; hard gates below target-tol
+    or missing runs fail the exit code, soft gates never do."""
+    import json
+    import subprocess
+    import sys
+
+    tool = os.path.join(REPO, "tools", "check_validation.py")
+    run_a = tmp_path / "proj" / "expA"
+    run_b = tmp_path / "proj" / "expB"
+    for d in (run_a, run_b):
+        d.mkdir(parents=True)
+    with open(run_a / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"step": 0, "best_acc": 0.90}) + "\n")
+        f.write(json.dumps({"step": 1, "best_acc": 0.94}) + "\n")
+    (run_b / "eval.log").write_text(
+        "acc: 80.00 +/- 5.00 over 10 runs\nacc: 92.31 +/- 4.10 over 10 runs\n"
+    )
+
+    def run_gates(gates):
+        p = tmp_path / "gates.json"
+        p.write_text(json.dumps({"gates": gates}))
+        rc = subprocess.run(
+            [sys.executable, tool, "--gates", str(p),
+             "--root", str(tmp_path)],
+            capture_output=True, text=True,
+        )
+        return rc.returncode, rc.stdout
+
+    g_jsonl = {"name": "a", "run": "proj/expA", "kind": "jsonl_max",
+               "key": "best_acc", "target": 0.939, "tol": 0.003,
+               "hard": True, "source": "t"}
+    g_log = {"name": "b", "run": "proj/expB", "kind": "log_regex",
+             "pattern": r"acc: ([\d.]+) \+/- [\d.]+ over",
+             "target": 91.1, "tol": 7.2, "hard": True, "source": "t"}
+    rc, out = run_gates([g_jsonl, g_log])
+    assert rc == 0, out
+    assert "0.9400" in out and "92.3100" in out  # max row / LAST log match
+
+    # hard gate below floor -> exit 1; same gate soft -> exit 0
+    rc, out = run_gates([{**g_jsonl, "target": 0.95, "tol": 0.001}])
+    assert rc == 1 and "FAIL" in out
+    rc, _ = run_gates(
+        [{**g_jsonl, "target": 0.95, "tol": 0.001, "hard": False}]
+    )
+    assert rc == 0
+
+    # missing run -> hard gate fails as MISSING
+    rc, out = run_gates([{**g_jsonl, "run": "proj/nope"}])
+    assert rc == 1 and "MISSING" in out
+
+
 def test_readme_numbers_match_latest_bench():
     """README's performance table must track the newest BENCH_r*.json
     (stale headline numbers were flagged by the r2 AND r3 verdicts; this
