@@ -220,12 +220,41 @@ def bench_train_step(batch_size: int = 192, reps: int = 4):
     )
     step = make_pretrain_step(cfg, pc_model, img_model, tx, neg_groups=1)
     sec = _time_chained_steps(step, state, batch, reps)
-    return {
+    out = {
         "batch": batch_size,
         "step_s": sec,
         "clouds_per_sec": batch_size / sec,
         "epoch_43k_s": 43000 / (batch_size / sec),
     }
+    peak = _chip_peak_tflops()
+    if peak:
+        try:
+            flops = _train_step_flops(step, state, batch)
+            out["flops_per_step"] = flops
+            out["train_mfu"] = flops / sec / (peak * 1e12)
+        except Exception as e:
+            print(f"# pretrain train flops failed: {e}", file=sys.stderr)
+    return out
+
+
+def _train_step_flops(step, state, batch) -> float:
+    """Analytical FLOPs of one compiled train step (fwd+bwd+optimizer),
+    lowered with every Pallas kernel on its XLA path — the cost model
+    reports 0 for custom calls, so counting with kernels live would drop
+    the attention/dense matmuls (same rationale as
+    evaluation/flops.forward_flops)."""
+    from vipformer_tpu.ops.pallas import xla_reference_mode
+    from vipformer_tpu.utils.cache import train_key
+
+    with xla_reference_mode():
+        lowered = jax.jit(step).lower(state, batch, 1e-3, train_key(1))
+        try:
+            cost = lowered.compile().cost_analysis()
+        except Exception:
+            cost = lowered.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    return float(cost.get("flops", -1.0))
 
 
 def _time_chained_steps(step, state, batch, reps: int = 4):
@@ -361,13 +390,58 @@ def bench_partseg_train(batch_size: int = 96, reps: int = 4):
     onehot = jnp.zeros((batch_size, 16), jnp.float32)
     params, stats = init_variables(model, (pts, onehot))
     state, tx = create_state(cfg, params, stats)
-    sec = _time_chained_steps(make_partseg_step(cfg, model, tx), state, batch, reps)
-    return {
+    step = make_partseg_step(cfg, model, tx)
+    sec = _time_chained_steps(step, state, batch, reps)
+    out = {
         "batch": batch_size,
         "step_s": sec,
         "clouds_per_sec": batch_size / sec,
         "epoch_trainval_s": _PARTSEG_TRAINVAL / (batch_size / sec),
         "vs_tab3_node": (batch_size / sec) / _PARTSEG_BASELINE_CPS,
+    }
+    peak = _chip_peak_tflops()
+    if peak:
+        try:
+            flops = _train_step_flops(step, state, batch)
+            out["flops_per_step"] = flops
+            out["train_mfu"] = flops / sec / (peak * 1e12)
+        except Exception as e:
+            print(f"# partseg train flops failed: {e}", file=sys.stderr)
+    return out
+
+
+def bench_probe(reps: int = 3):
+    """SVM linear-probe wall time at the exact pretrain epoch-gate scale
+    (reference `pretrain.py:228-276`: fit on ModelNet40 train features,
+    score on test, EVERY epoch): [9840, 512] train / [2468, 512] test,
+    40 classes — 512 = concat(max, mean) of D=256 backbone latents.
+    Times the on-device fit (evaluation/svm.fit_svm, 300 Adam steps in
+    one jit) plus host-side score, the quantity every s/epoch claim
+    composes with. Feature extraction itself is the cls-inference bench
+    (~12.3k clouds at the measured clouds/s)."""
+    from vipformer_tpu.evaluation.svm import fit_svm
+
+    rng = np.random.default_rng(0)
+    d, k = 512, 40
+    # class-structured features so score() does real argmax work
+    centers = rng.standard_normal((k, d)).astype(np.float32)
+    ytr = rng.integers(0, k, size=9840)
+    yte = rng.integers(0, k, size=2468)
+    xtr = (centers[ytr] + rng.standard_normal((9840, d))).astype(np.float32)
+    xte = (centers[yte] + rng.standard_normal((2468, d))).astype(np.float32)
+
+    fit_svm(xtr, ytr, c=1.0, num_classes=k).score(xte, yte)  # compile
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        svm = fit_svm(xtr, ytr, c=1.0, num_classes=k)
+        acc = svm.score(xte, yte)
+        walls.append(time.perf_counter() - t0)
+    return {
+        "fit_score_wall_s": float(np.median(walls)),
+        "sanity_acc": acc,
+        "train_shape": [9840, d],
+        "test_shape": [2468, d],
     }
 
 
@@ -430,23 +504,46 @@ def main():
             **decode_arch_name(FLAGSHIP),
         )
         model = build_ft_cls(cfg)
-        b = bestcfg["batch"]
-        pts = jnp.asarray(
-            np.random.default_rng(0).standard_normal((b, NUM_POINTS, 3)),
-            dtype=jnp.float32,
+        rng0 = np.random.default_rng(0)
+        variables = model.init(
+            {"params": jax.random.key(0)},
+            jnp.asarray(
+                rng0.standard_normal((2, NUM_POINTS, 3)), dtype=jnp.float32
+            ),
         )
-        variables = model.init({"params": jax.random.key(0)}, pts)
-        flops = forward_flops(model, variables, pts)
-        eff_tflops = flops / bestcfg["p50_batch_latency_s"] / 1e12
-        detail["flops_per_batch"] = flops
-        detail["effective_tflops"] = round(eff_tflops, 1)
         peak = _chip_peak_tflops()
-        if peak:
-            # forward_flops lowers in xla_reference_mode, so the Pallas
-            # custom calls' matmuls (attention/stem/kNN) ARE in the
-            # denominator (r3 fix of the r2 MFU under-count)
-            detail["mfu"] = round(eff_tflops / peak, 4)
-            detail["chip_peak_tflops_bf16"] = peak
+        # per-batch MFU (r4 VERDICT item 1: the batch curve must be
+        # visible in the bench record, not just its best point) —
+        # forward_flops lowers in xla_reference_mode, so the Pallas
+        # custom calls' matmuls (attention/stem/kNN) ARE in the
+        # denominator (r3 fix of the r2 MFU under-count)
+        sweep = []
+        for r in results:
+            flops = forward_flops(
+                model,
+                variables,
+                jnp.asarray(
+                    rng0.standard_normal((r["batch"], NUM_POINTS, 3)),
+                    dtype=jnp.float32,
+                ),
+            )
+            eff_tflops = flops / r["p50_batch_latency_s"] / 1e12
+            point = {
+                "batch": r["batch"],
+                "p50_per_cloud_ms": round(r["p50_per_cloud_ms"], 4),
+                "effective_tflops": round(eff_tflops, 1),
+            }
+            if peak:
+                point["mfu"] = round(eff_tflops / peak, 4)
+            sweep.append(point)
+            if r["batch"] == bestcfg["batch"]:
+                detail["flops_per_batch"] = flops
+                detail["effective_tflops"] = point["effective_tflops"]
+                if peak:
+                    detail["mfu"] = point["mfu"]
+                    detail["chip_peak_tflops_bf16"] = peak
+        if len(sweep) > 1:
+            detail["batch_sweep"] = sweep
     except Exception as e:
         print(f"# mfu calc failed: {e}", file=sys.stderr)
     if not quick:
@@ -501,6 +598,14 @@ def main():
             )
         except Exception as e:
             print(f"# partseg train bench failed: {e}", file=sys.stderr)
+        try:
+            pr = bench_probe()
+            print(f"# svm probe: {pr}", file=sys.stderr)
+            detail["svm_probe_fit_score_s"] = round(
+                pr["fit_score_wall_s"], 3
+            )
+        except Exception as e:
+            print(f"# svm probe bench failed: {e}", file=sys.stderr)
 
     print(
         json.dumps(
