@@ -121,6 +121,23 @@ def test_run_queue_retry_and_resume(tmp_path):
     assert rc2.returncode == 0
     assert not marker.exists()
 
+    # a job killed mid-run is left 'running' in the journal; plain resume
+    # must pick it back up, and --retry_failed must resurrect a job that
+    # exhausted its attempts (both hit for real in the r5 smoke rehearsal)
+    js = json.load(open(state))
+    js["jobs"][0].update(status="running", attempts=1)
+    js["jobs"][1].update(status="failed", attempts=2)
+    json.dump(js, open(state, "w"))
+    rc3 = subprocess.run(
+        [sys.executable, tool, "--resume", "--retry_failed",
+         "--state", str(state), "--log_dir", str(logs)],
+        capture_output=True, text=True,
+    )
+    assert rc3.returncode == 0, rc3.stdout + rc3.stderr
+    assert marker.exists()  # stale-running job 0 re-ran
+    js = json.load(open(state))
+    assert [j["status"] for j in js["jobs"]] == ["done", "done"]
+
 
 def test_check_validation_gates(tmp_path):
     """tools/check_validation.py (the final job of the real-data

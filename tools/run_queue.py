@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--log_dir", default="queue_logs")
     ap.add_argument("--resume", action="store_true",
                     help="continue a previous queue from --state")
+    ap.add_argument("--retry_failed", action="store_true",
+                    help="with --resume: reset failed jobs' attempt "
+                    "counters so they run again (otherwise a job that "
+                    "exhausted its retries stays failed forever)")
     args = ap.parse_args()
 
     os.makedirs(args.log_dir, exist_ok=True)
@@ -62,6 +66,14 @@ def main():
             ]
     if args.resume and os.path.exists(args.state):
         state = json.load(open(args.state))
+        for job in state["jobs"]:
+            # a job left 'running' by a killed queue never finished; run it
+            if job["status"] == "running":
+                job["status"] = "pending"
+                job["attempts"] = max(0, job["attempts"] - 1)
+            if args.retry_failed and job["status"] == "failed":
+                job["status"] = "pending"
+                job["attempts"] = 0
     else:
         if not args.jobs:
             ap.error("no jobs given")
