@@ -276,3 +276,36 @@ def test_dense_segment_forms_match_concat(rng, key):
         ),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # Backward parity with the Pallas dW/db kernel forced onto every
+    # qualifying segment (the r5 seg-decode routing): grads w.r.t. the
+    # one shared kernel/bias must equal autodiff of the explicit-concat
+    # form segment-slice by segment-slice.
+    from vipformer_tpu.ops.pallas import dense as dense_mod
+
+    def loss_seg(v):
+        out = dense.apply(v, (a, g, (src, interp)))
+        return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+    def loss_cat(v):
+        out = dense.apply(
+            v,
+            jnp.concatenate(
+                [a, jnp.broadcast_to(g, (B, N, 7)), interp(src)], axis=-1
+            ),
+        )
+        return jnp.sum(out * jnp.cos(out.astype(jnp.float32)))
+
+    dense_mod.USE_DENSE_GRAD = True
+    try:
+        g_seg = jax.grad(loss_seg)(variables)
+    finally:
+        dense_mod.USE_DENSE_GRAD = None
+    g_cat = jax.grad(loss_cat)(variables)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-4
+        ),
+        g_seg,
+        g_cat,
+    )

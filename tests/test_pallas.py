@@ -697,3 +697,123 @@ def test_fps_pallas_return_centers(rng):
     np.testing.assert_array_equal(idx0, idx1)
     ref = jnp.take_along_axis(xyz, idx0[:, :, None], axis=1)
     np.testing.assert_array_equal(centers, ref)
+
+
+def test_batchnorm_module_matches_flax(rng):
+    """nn.layers.BatchNorm (train-mode drop-in, XLA fallback path on
+    CPU) == flax.linen.BatchNorm(use_running_average=False): outputs,
+    running-stat updates, and grads through the batch."""
+    import flax.linen as nn
+
+    from vipformer_tpu.nn.layers import BatchNorm
+
+    x = jnp.asarray(rng.standard_normal((4, 32, 48)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((4, 32, 48)), jnp.float32)
+
+    ours = BatchNorm()
+    flaxm = nn.BatchNorm(use_running_average=False, momentum=0.9)
+    v_ours = ours.init(jax.random.key(0), x)
+    v_flax = flaxm.init(jax.random.key(0), x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        v_ours,
+        v_flax,
+    )
+
+    y_o, m_o = ours.apply(v_ours, x, mutable=["batch_stats"])
+    y_f, m_f = flaxm.apply(v_flax, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(y_o), np.asarray(y_f), rtol=1e-6, atol=1e-6
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        ),
+        m_o,
+        m_f,
+    )
+
+    def loss(mod, v, xx):
+        y, _ = mod.apply(v, xx, mutable=["batch_stats"])
+        return jnp.sum(y * cot), jnp.sum(y)
+
+    (g_o, _), (g_f, _) = (
+        jax.grad(lambda xx: loss(ours, v_ours, xx), has_aux=True)(x),
+        jax.grad(lambda xx: loss(flaxm, v_flax, xx), has_aux=True)(x),
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_o), np.asarray(g_f), rtol=1e-5, atol=1e-5
+    )
+
+    gp_o = jax.grad(lambda p: loss(ours, {**v_ours, "params": p}, x)[0])(
+        v_ours["params"]
+    )
+    gp_f = jax.grad(lambda p: loss(flaxm, {**v_flax, "params": p}, x)[0])(
+        v_flax["params"]
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        ),
+        gp_o,
+        gp_f,
+    )
+
+
+def test_batchnorm_kernel_matches_fallback(rng):
+    """bn_train_apply with the Pallas kernels forced (interpret on CPU)
+    == the module's XLA-fallback math: y, mean/var, and all three grads,
+    f32 and bf16."""
+    import vipformer_tpu.ops.pallas.batchnorm as pbn
+
+    for dt, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 2e-2)):
+        x = jnp.asarray(rng.standard_normal((512, 64)), dt)
+        scale = jnp.asarray(1 + 0.1 * rng.standard_normal(64), jnp.float32)
+        bias = jnp.asarray(0.1 * rng.standard_normal(64), jnp.float32)
+        cot = jnp.asarray(rng.standard_normal((512, 64)), dt)
+
+        def ref(x, s, b):
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, 0)
+            var = jnp.maximum(0.0, jnp.mean(xf * xf, 0) - mean * mean)
+            mul = jax.lax.rsqrt(var + jnp.float32(1e-5)) * s
+            y = ((xf - mean) * mul + b).astype(x.dtype)
+            return y, mean, var
+
+        def fused(x, s, b):
+            return pbn.bn_train_apply(x, s, b, 1e-5)
+
+        pbn.USE_BN_TRAIN = True
+        try:
+            y_k, mean_k, var_k = fused(x, scale, bias)
+            gx_k, gs_k, gb_k = jax.grad(
+                lambda *a: jnp.sum(
+                    fused(*a)[0].astype(jnp.float32) * cot.astype(jnp.float32)
+                ),
+                argnums=(0, 1, 2),
+            )(x, scale, bias)
+        finally:
+            pbn.USE_BN_TRAIN = None
+
+        y_r, mean_r, var_r = ref(x, scale, bias)
+        gx_r, gs_r, gb_r = jax.grad(
+            lambda *a: jnp.sum(
+                ref(*a)[0].astype(jnp.float32) * cot.astype(jnp.float32)
+            ),
+            argnums=(0, 1, 2),
+        )(x, scale, bias)
+
+        np.testing.assert_allclose(
+            np.asarray(y_k, np.float32), np.asarray(y_r, np.float32),
+            rtol=tol, atol=tol,
+        )
+        np.testing.assert_allclose(mean_k, mean_r, rtol=tol, atol=tol)
+        np.testing.assert_allclose(var_k, var_r, rtol=tol, atol=tol)
+        np.testing.assert_allclose(
+            np.asarray(gx_k, np.float32), np.asarray(gx_r, np.float32),
+            rtol=tol, atol=tol * 10,
+        )
+        np.testing.assert_allclose(gs_k, gs_r, rtol=tol, atol=tol * 30)
+        np.testing.assert_allclose(gb_k, gb_r, rtol=tol, atol=tol * 30)

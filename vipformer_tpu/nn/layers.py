@@ -98,27 +98,62 @@ class Dense(nn.Module):
         )
         segments, kernel, bias = promoted[:-2], promoted[-2], promoted[-1]
 
-        if len(segments) > 1 or posts[0] is not None:
-            y = None
-            off = 0
-            for s, post in zip(segments, posts):
-                part = jnp.einsum(
-                    "...i,ij->...j", s, kernel[off : off + s.shape[-1]],
-                    preferred_element_type=s.dtype,
-                )
-                if post is not None:
-                    part = post(part)
-                y = part if y is None else y + part
-                off += s.shape[-1]
-            return y if bias is None else y + bias
-        x = segments[0]
-
         from vipformer_tpu.ops.pallas import shard
         from vipformer_tpu.ops.pallas.dense import (
             dense_apply,
             dense_grad_enabled,
             effective_tp_role,
         )
+
+        if len(segments) > 1 or posts[0] is not None:
+            # Each segment's product is its own matmul, so each routes its
+            # (dW-slice, db) through the Pallas row-stream backward when
+            # its OWN row count qualifies — the seg-decode sites
+            # ([B*N ~= 98k, 1024] skip features into SegHead/
+            # FeaturePropagation) otherwise pay XLA's tall-skinny dW
+            # emitter, the same pathology dense_apply was built for
+            # (r4 VERDICT item 4).  The bias rides the post-free segment
+            # with the most rows (adding it to any single summand is the
+            # same math — the sum broadcasts it across the rest — and on
+            # the widest segment its cotangent is the least-reduced dy,
+            # so the kernel's fused db subsumes the biggest XLA column
+            # reduce); broadcast-only segments (e.g. the [B,1,Dg] global
+            # feature) keep the plain einsum.
+            def _rows(s):
+                r = 1
+                for d in s.shape[:-1]:
+                    r *= d
+                return r
+
+            free = [i for i, p in enumerate(posts) if p is None]
+            bias_seg = (
+                max(free, key=lambda i: _rows(segments[i])) if free else None
+            )
+            y = None
+            off = 0
+            for i, (s, post) in enumerate(zip(segments, posts)):
+                w_seg = kernel[off : off + s.shape[-1]]
+                rows = _rows(s)
+                b_seg = bias if (bias is not None and i == bias_seg) else None
+                if dense_grad_enabled(
+                    rows, s.shape[-1], self.features, s.dtype.itemsize, None
+                ):
+                    part = dense_apply(s, w_seg, b_seg, None)
+                else:
+                    part = jnp.einsum(
+                        "...i,ij->...j", s, w_seg,
+                        preferred_element_type=s.dtype,
+                    )
+                    if b_seg is not None:
+                        part = part + b_seg
+                if post is not None:
+                    part = post(part)
+                y = part if y is None else y + part
+                off += s.shape[-1]
+            if bias is not None and bias_seg is None:
+                y = y + bias
+            return y
+        x = segments[0]
 
         tp_role = None
         if shard.model_size() > 1:
@@ -235,6 +270,79 @@ def layer_norm(dtype=None, name=None):
     return LayerNorm(dtype=dtype, name=name)
 
 
+class BatchNorm(nn.Module):
+    """Train-mode BatchNorm with Pallas column-reduce kernels.
+
+    flax.linen.BatchNorm's exact math (f32 stats, fast variance
+    `max(0, E[x^2] - E[x]^2)`, f32 normalize, cast at the end, flax
+    running-stat update) and an identical param/stat tree — the class is
+    literally named `BatchNorm` so flax auto-naming produces the same
+    "BatchNorm_N" paths whichever module a call site gets.  When the
+    row count qualifies, the four pathological column reduces (fwd
+    mean/E[x^2], bwd dscale/dbias over [B*N, C] activations — ~7 ms of
+    the partseg train step, see ops/pallas/batchnorm.py) route through
+    row-stream Pallas kernels via `bn_train_apply`'s custom VJP; under a
+    mesh the kernels psum per-shard partials, preserving the sync-BN
+    semantics the pjit path gets from XLA's automatic collectives.
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (c,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (c,), jnp.float32
+        )
+
+        from vipformer_tpu.ops.pallas.batchnorm import (
+            bn_train_apply,
+            bn_train_enabled,
+        )
+
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        out_dtype = nn.dtypes.canonicalize_dtype(
+            x, scale, bias, dtype=self.dtype
+        )
+        if not self.is_initializing() and bn_train_enabled(
+            rows, c, x.dtype.itemsize
+        ):
+            y, mean, var = bn_train_apply(
+                x, scale, bias, float(self.epsilon)
+            )
+            y = y.astype(out_dtype)
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            mu2 = jnp.mean(xf * xf, axes)
+            var = jnp.maximum(0.0, mu2 - mean * mean)
+            shape = (1,) * (x.ndim - 1) + (c,)
+            mul = jax.lax.rsqrt(var + jnp.float32(self.epsilon)) * scale
+            y = (
+                (xf - mean.reshape(shape)) * mul.reshape(shape)
+                + bias.reshape(shape)
+            ).astype(out_dtype)
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        return y
+
+
 def batch_norm(deterministic: bool, dtype=None, name=None, axis_name=None):
     """BatchNorm matching torch defaults (momentum 0.1 -> flax 0.9, eps 1e-5).
 
@@ -242,15 +350,22 @@ def batch_norm(deterministic: bool, dtype=None, name=None, axis_name=None):
     global automatically (XLA inserts the collectives), so this behaves as
     sync-BN across the data axis — strictly better-behaved than the
     reference's per-replica DDP BatchNorm stats.
+
+    Eval (and the explicitly pmean'd axis_name form) stays on
+    flax.linen.BatchNorm; train-mode calls get the kernel-backed
+    drop-in above (same auto-name, same trees, same numbers — pinned by
+    tests/test_pallas.py::test_batchnorm_*).
     """
-    return nn.BatchNorm(
-        use_running_average=deterministic,
-        momentum=0.9,
-        epsilon=1e-5,
-        dtype=dtype,
-        name=name,
-        axis_name=axis_name,
-    )
+    if deterministic or axis_name is not None:
+        return nn.BatchNorm(
+            use_running_average=deterministic,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=dtype,
+            name=name,
+            axis_name=axis_name,
+        )
+    return BatchNorm(momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
 
 
 class DropPath(nn.Module):

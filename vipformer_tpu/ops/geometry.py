@@ -396,12 +396,24 @@ def three_nn_weights(
     nn.pointnet.FeaturePropagation).
     """
     d = square_distance(xyz_dst, xyz_src)  # [B, N, S]
-    neg_top, idx = jax.lax.top_k(-d, 3)  # nearest three
-    dist = -neg_top
-    w = 1.0 / (dist + eps)
-    w = w / jnp.sum(w, axis=-1, keepdims=True)
-    s = xyz_src.shape[1]
-    src_ids = jax.lax.broadcasted_iota(idx.dtype, (1, 1, 1, s), 3)
-    return jnp.sum(
-        jnp.where(idx[..., None] == src_ids, w[..., None], 0.0), axis=2
-    )
+    # Three min+mask passes instead of lax.top_k: XLA lowers top_k on TPU
+    # as a full variadic SORT of the [B, N, S] distances — 1.18 ms of the
+    # r5 partseg train step (per-op profile, `sort f32[96,1024,128]`) for
+    # what is a select-3. Each pass is one VPU reduce + compare fusion;
+    # the one-hot of the current minimum (first occurrence on ties, like
+    # top_k) both accumulates that neighbor's weight into the dense
+    # [B, N, S] matrix and masks it for the next pass, so the separate
+    # scatter-by-comparison the top_k form needed disappears too.
+    w_unnorm = jnp.zeros_like(d)
+    w_sum = 0.0
+    d_work = d
+    for _ in range(3):
+        v = jnp.min(d_work, axis=-1, keepdims=True)  # [B, N, 1]
+        hit = d_work <= v
+        first = jnp.cumsum(hit.astype(jnp.int32), axis=-1) == 1
+        onehot = (hit & first).astype(d.dtype)
+        w_k = 1.0 / (v + eps)
+        w_unnorm = w_unnorm + onehot * w_k
+        w_sum = w_sum + w_k
+        d_work = jnp.where(onehot > 0, jnp.inf, d_work)
+    return w_unnorm / w_sum

@@ -173,8 +173,13 @@ def dense_grad_enabled(
     # The win lives at the encoder projections ([B*G ~= 49k, 256] with
     # ~25 MB operands that already exist as arrays), where XLA's
     # tall-skinny dW fusions measure 1.6-2.2 ms for ~0.1 ms of work.
+    # Upper bound raised 65536 -> 131072 in r5 for the seg-decode sites
+    # ([B*N = 98k, 512-1024] SegHead/FeaturePropagation Denses, plain 3-D
+    # bf16 arrays, so none of the layout-copy hazard measured at the
+    # stem sites). The 786k-1.57M-row stem/Group2Emb sites that
+    # motivated the cap stay excluded.
     return (
-        16384 <= r <= 65536
+        16384 <= r <= 131072
         and cout <= 1024
         and cin <= 1024
         and _pick_block_rows(r, cin, cout, itemsize) > 0
