@@ -447,10 +447,10 @@ def bench_probe(reps: int = 3):
 
 def main():
     quick = "--quick" in sys.argv
-    # measured sweep on v5e (r2): best per-cloud latency at batch 128
-    # (0.053 ms); larger batches degrade because the small-M SA's
-    # materialized f32 scores go HBM-BW-bound (root cause in ROADMAP item
-    # 0), so 512 stays out of the default sweep
+    # full 32-512 sweep: per-op profiles show on-device compute is
+    # batch-flat (~47.6 us/cloud); the chained stream's small-batch edge
+    # is pipelined-away fixed dispatch overhead (ROADMAP item 0), and
+    # the per-batch MFU sweep below records the whole curve either way
     if "--train" in sys.argv:
         out = bench_train_step()
         print(

@@ -289,6 +289,29 @@ def parse_trace(trace_dir: str, top: int = 25):
     for nm, ps in modules.most_common(5):
         print(f"{ps/1e6/ITERS:10.1f} us/iter  {nm[:100]}")
     total_sync = sum(sync.values()) / 1e6 / ITERS
+
+    # family rollup: strip the %name and .N instance suffixes so every
+    # instruction lands in an op-family bucket, print families covering
+    # >= 99% of the step — this is the table that must SUM to the
+    # measured wall (r4 VERDICT item 5), not a top-K excerpt
+    import re as _re
+
+    fams = collections.Counter()
+    for nm, ps in sync.items():
+        head = nm[1:].split(" = ", 1)[0] if nm.startswith("%") else nm
+        fams[_re.sub(r"[.\-]\d+$", "", head)] += ps
+    print(f"== sync families (sum {total_sync:.1f} us/iter) ==")
+    run_sum = 0.0
+    for nm, ps in fams.most_common():
+        us = ps / 1e6 / ITERS
+        run_sum += us
+        print(
+            f"{us:10.1f} us/iter  {100*us/total_sync:5.1f}%  "
+            f"(cum {100*run_sum/total_sync:5.1f}%)  {nm[:80]}"
+        )
+        if run_sum / total_sync >= 0.99:
+            break
+
     print(f"== top sync ops (total {total_sync:.1f} us/iter) ==")
     for nm, ps in sync.most_common(top):
         print(

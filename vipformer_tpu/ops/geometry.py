@@ -404,14 +404,15 @@ def three_nn_weights(
     # top_k) both accumulates that neighbor's weight into the dense
     # [B, N, S] matrix and masks it for the next pass, so the separate
     # scatter-by-comparison the top_k form needed disappears too.
+    s = xyz_src.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, s), 2)
     w_unnorm = jnp.zeros_like(d)
     w_sum = 0.0
     d_work = d
     for _ in range(3):
-        v = jnp.min(d_work, axis=-1, keepdims=True)  # [B, N, 1]
-        hit = d_work <= v
-        first = jnp.cumsum(hit.astype(jnp.int32), axis=-1) == 1
-        onehot = (hit & first).astype(d.dtype)
+        i = jnp.argmin(d_work, axis=-1)  # [B, N]; first index on ties
+        v = jnp.min(d_work, axis=-1, keepdims=True)
+        onehot = (iota == i[..., None]).astype(d.dtype)
         w_k = 1.0 / (v + eps)
         w_unnorm = w_unnorm + onehot * w_k
         w_sum = w_sum + w_k

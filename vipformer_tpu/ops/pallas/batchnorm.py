@@ -147,10 +147,18 @@ def bn_grad_reduces_pallas(
 
 
 def bn_train_enabled(r: int, c: int, itemsize: int) -> bool:
-    """Same shaped window as the Dense dW kernel: the win exists where the
-    column reduces stream >= ~16k rows (below that the dispatch floor
-    wins); the 786k+-row Group2Emb BNs never reach here (the fused
-    g2e_train kernel owns them in train mode)."""
+    """OFF by default — measured a NET LOSS in-model (r5, partseg train
+    45.6 -> 49.8 ms with the kernel auto-on at the [98k, 1536/1024/512/
+    256] decode BNs).  The reduces themselves got cheaper (fwd stats +
+    dscale/dbias ~7.6 -> ~4.6 ms), but routing the backward through the
+    kernel stops XLA from RECOMPUTING the ReLU mask inside each of its
+    reduce fusions: the [96,1024,1536] `compare_select` dy-mask pass and
+    the normalize's f32 intermediate materialize standalone (+2.9 ms
+    family) — the same recompute-vs-materialize trade g2e_train.py's
+    six-pass design exists to win, which a BN-only kernel cannot see.
+    A winning version must absorb the surrounding ReLU/Dense chain like
+    g2e does.  Kept correct and forceable (USE_BN_TRAIN=True; parity
+    pinned by tests/test_pallas.py::test_batchnorm_*)."""
     from vipformer_tpu.ops.pallas import shard
 
     if shard.sharding_active():
@@ -159,13 +167,7 @@ def bn_train_enabled(r: int, c: int, itemsize: int) -> bool:
         r = r // shard.data_size()
     if USE_BN_TRAIN is not None:
         return USE_BN_TRAIN and _pick_block_rows(r, c, 2, itemsize) > 0
-    if jax.default_backend() != "tpu":
-        return False
-    return (
-        16384 <= r <= 262144
-        and c <= 2048
-        and _pick_block_rows(r, c, 2, itemsize) > 0
-    )
+    return False
 
 
 def _global_rows(r: int) -> int:
