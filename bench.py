@@ -568,6 +568,8 @@ def main():
             detail["pretrain_vs_baseline_node"] = round(
                 tr["clouds_per_sec"] / (43000 / 22.2), 2
             )
+            if "train_mfu" in tr:
+                detail["pretrain_train_mfu"] = round(tr["train_mfu"], 4)
         except Exception as e:
             print(f"# train bench failed: {e}", file=sys.stderr)
         try:

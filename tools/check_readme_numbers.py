@@ -19,8 +19,12 @@ import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-TOL = 0.08  # relative; tunnel variance is ±10% per ROADMAP, README should
-# be refreshed whenever the measured number drifts past this
+TOL = 0.12  # relative; must exceed the tunnel's ±10% run-to-run variance
+# (ROADMAP) or a re-bench of IDENTICAL code can flip the guard red — the
+# r4 round shipped red exactly that way. 12% still catches real
+# staleness (the guard exists for 26-52% drifts like r4's unsynced
+# seg-decode rewrite); refresh the README whenever a measured number
+# moves past it
 
 
 def latest_bench() -> dict | None:

@@ -330,7 +330,12 @@ def main():
     # the named kernel group for A/B reads of a kernel's in-model win
     off = os.environ.get("VIPFORMER_NO_PALLAS")
     if off:
-        from vipformer_tpu.ops.pallas import attention, dense, layernorm
+        from vipformer_tpu.ops.pallas import (
+            attention,
+            batchnorm,
+            dense,
+            layernorm,
+        )
 
         if off in ("attention", "all"):
             attention.USE_FUSED_ATTENTION = False
@@ -338,6 +343,17 @@ def main():
             dense.USE_DENSE_GRAD = False
         if off in ("layernorm", "all"):
             layernorm.USE_LAYERNORM = False
+        if off in ("batchnorm", "all"):
+            batchnorm.USE_BN_TRAIN = False
+    # VIPFORMER_FORCE_PALLAS=batchnorm force-enables a default-off kernel
+    # for A/B profiles (the BN custom-VJP is default-off per its measured
+    # in-model loss — ops/pallas/batchnorm.py bn_train_enabled)
+    on = os.environ.get("VIPFORMER_FORCE_PALLAS")
+    if on:
+        from vipformer_tpu.ops.pallas import batchnorm
+
+        if on in ("batchnorm", "all"):
+            batchnorm.USE_BN_TRAIN = True
     name = sys.argv[1] if len(sys.argv) > 1 else "cls"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     global _TOP
