@@ -817,3 +817,51 @@ def test_batchnorm_kernel_matches_fallback(rng):
         )
         np.testing.assert_allclose(gs_k, gs_r, rtol=tol, atol=tol * 30)
         np.testing.assert_allclose(gb_k, gb_r, rtol=tol, atol=tol * 30)
+
+
+def test_packed_small_qkv_ln_matches_module_math(rng):
+    """LN+qkv-folded small-M self-attention kernel (interpret) == the
+    module path: nn.layers LayerNorm -> q/k/v Dense (no bias) ->
+    dot_product_attention, f32 and bf16."""
+    from vipformer_tpu.ops.attention import dot_product_attention
+    from vipformer_tpu.ops.pallas.attention import (
+        fused_attention_packed_small_qkv_ln,
+    )
+
+    b, g, din, h, d = 4, 16, 32, 4, 32
+    for dt, tol in ((jnp.float32, 2e-5), (jnp.bfloat16, 2e-2)):
+        x = jnp.asarray(rng.standard_normal((b, g, din)), dt)
+        lns = jnp.asarray(1 + 0.1 * rng.standard_normal(din), jnp.float32)
+        lnb = jnp.asarray(0.1 * rng.standard_normal(din), jnp.float32)
+        wq = jnp.asarray(0.2 * rng.standard_normal((din, d)), dt)
+        wk = jnp.asarray(0.2 * rng.standard_normal((din, d)), dt)
+        wv = jnp.asarray(0.2 * rng.standard_normal((din, d)), dt)
+        scale = (d // h) ** -0.5
+
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.maximum(
+            0.0, jnp.mean(xf * xf, -1, keepdims=True) - mu * mu
+        )
+        xn = ((xf - mu) * (jax.lax.rsqrt(var + 1e-5) * lns) + lnb).astype(dt)
+
+        def proj(w):
+            y = jnp.einsum(
+                "bgd,de->bge", xn, w, preferred_element_type=dt
+            )
+            return y.reshape(b, g, h, d // h).transpose(0, 2, 1, 3)
+
+        want = dot_product_attention(
+            proj(wq), proj(wk), proj(wv), scale=scale
+        )
+        want = want.transpose(0, 2, 1, 3).reshape(b, g, d)
+
+        got = fused_attention_packed_small_qkv_ln(
+            x, lns, lnb, wq, wk, wv,
+            num_heads=h, scale=scale, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            rtol=tol, atol=tol,
+        )

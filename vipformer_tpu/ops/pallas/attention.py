@@ -663,6 +663,132 @@ def fused_attention_packed_small(
     )(q, k, v)
 
 
+def _packed_small_qkv_ln_kernel(
+    scale, h, eps, x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref, o_ref
+):
+    bt, g, din = x_ref.shape
+    d = wq_ref.shape[1]
+    dt = o_ref.dtype
+    # in-VMEM pre-LN of the raw tokens — op-for-op nn.layers.LayerNorm
+    # (f32 fast-variance stats, cast to the compute dtype), same fold the
+    # CA eval kernel performs on its kv chunk (_packed_kv_ln_kernel)
+    xf = x_ref[...].astype(jnp.float32)  # [BT, G, Din]
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    mu2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, mu2 - mu * mu)
+    xn = (
+        (xf - mu) * (jax.lax.rsqrt(var + eps) * lns_ref[0])
+        + lnb_ref[0]
+    ).astype(dt)
+    # one full-width MXU dot per projection on the [BT*G, Din] rows
+    xn2 = xn.reshape(bt * g, din)
+    q = jax.lax.dot_general(
+        xn2, wq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(dt).reshape(bt, g, d)
+    k = jax.lax.dot_general(
+        xn2, wk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(dt).reshape(bt, g, d)
+    v = jax.lax.dot_general(
+        xn2, wv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).astype(dt).reshape(bt, g, d)
+    dh = d // h
+    for head in range(h):
+        sl = slice(head * dh, (head + 1) * dh)
+        logits = _bdot(
+            q[:, :, sl].astype(jnp.float32),
+            k[:, :, sl].astype(jnp.float32), 2, 2,
+        ) * scale  # [BT, G, G]
+        m_ = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m_)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[:, :, sl] = _bdot(p.astype(v.dtype), v[:, :, sl], 2, 1).astype(
+            o_ref.dtype
+        )
+
+
+@partial(jax.jit, static_argnames=("num_heads", "scale", "interpret"))
+def fused_attention_packed_small_qkv_ln(
+    x: Array,
+    ln_scale: Array,
+    ln_bias: Array,
+    wq: Array,
+    wk: Array,
+    wv: Array,
+    *,
+    num_heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> Array:
+    """Small-M SELF-attention with the pre-LN and all three projections
+    folded in: x [B, G, Din] RAW (pre-norm), ln params [Din] f32,
+    wq/wk/wv [Din, H*dh] -> [B, G, H*dh].
+
+    Motivation (r5 per-op profile of the eval forward): with the plain
+    small-M kernel engaged, each SA layer still pays an LN-stats fusion
+    (f32[B,G] over bf16[B,G,D], 0.355 ms at B=512 — ~8x off HBM
+    roofline) plus the LN-normalize and three projection megafusions in
+    HBM — together ~2.8 ms of the 24.3 ms B=512 forward for the 8
+    pc-encoder layers. Here the raw tokens are read ONCE per grid cell
+    and everything up to the attention output lives in VMEM; HBM traffic
+    per layer drops from ~7 tensor passes to read-x + write-o."""
+    b, g, din = x.shape
+    d = wq.shape[1]
+    bt = _SMALL_BT
+    while b % bt:
+        bt //= 2
+    ms = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        partial(
+            _packed_small_qkv_ln_kernel, float(scale), num_heads, 1e-5
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, g, d), x.dtype),
+        grid=(b // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, g, din), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((1, din), lambda i: (0, 0), memory_space=ms),
+            pl.BlockSpec((1, din), lambda i: (0, 0), memory_space=ms),
+            pl.BlockSpec(wq.shape, lambda i: (0, 0), memory_space=ms),
+            pl.BlockSpec(wk.shape, lambda i: (0, 0), memory_space=ms),
+            pl.BlockSpec(wv.shape, lambda i: (0, 0), memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec(
+            (bt, g, d), lambda i: (i, 0, 0), memory_space=ms
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.astype(jnp.float32).reshape(1, -1),
+        ln_bias.astype(jnp.float32).reshape(1, -1),
+        wq,
+        wk,
+        wv,
+    )
+
+
+def packed_small_qkv_ln_enabled(
+    num_heads: int, qk_ch: int, v_ch: int, g: int, d_in: int, pad_mask,
+    dropout_rate: float, deterministic: bool,
+) -> bool:
+    """Eval gate for the LN+qkv-folded small-M SELF-attention kernel:
+    the small-M conditions plus lane-aligned raw tokens and equal-width
+    q/k/v from the same normalized input (the SelfAttention contract)."""
+    if not packed_small_attention_enabled(
+        num_heads, qk_ch, v_ch, g, g, pad_mask, dropout_rate, deterministic
+    ):
+        return False
+    # folded-LN working set: [BT, G, Din] raw block + qkv + logits
+    need = 2 * _SMALL_BT * g * (d_in + 3 * max(qk_ch, 128)) * 2 + (
+        2 * _SMALL_BT * g * max(g, 128) * 4
+    )
+    return d_in % 128 == 0 and d_in <= 1024 and need < _VMEM_BUDGET
+
+
 def packed_small_attention_enabled(
     num_heads: int, qk_ch: int, v_ch: int, g: int, m: int, pad_mask,
     dropout_rate: float, deterministic: bool,
