@@ -865,3 +865,33 @@ def test_packed_small_qkv_ln_matches_module_math(rng):
             np.asarray(want, np.float32),
             rtol=tol, atol=tol,
         )
+
+
+def test_sa_qkv_ln_wiring_matches_module_path(rng):
+    """SelfAttention with the LN+qkv-folded kernel forced (interpret on
+    CPU) == the module path, at a whole-model eval forward."""
+    import vipformer_tpu.ops.pallas.attention as pattn
+    from vipformer_tpu.nn.layers import SelfAttention
+
+    b, g, d, h = 4, 16, 32, 4
+    x = jnp.asarray(rng.standard_normal((b, g, d)), jnp.float32)
+    sa = SelfAttention(num_heads=h)
+    v = sa.init(jax.random.key(0), x)
+    want = sa.apply(v, x, deterministic=True)
+    pattn.USE_SA_QKV_LN = True
+    try:
+        got = sa.apply(v, x, deterministic=True)
+    finally:
+        pattn.USE_SA_QKV_LN = None
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+    # param tree untouched by the fast path (it reads, never creates)
+    v2 = sa.init(jax.random.key(0), x)
+    jax.tree_util.tree_map(
+        lambda a, c: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(c)
+        ),
+        v,
+        v2,
+    )

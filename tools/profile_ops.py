@@ -350,10 +350,12 @@ def main():
     # in-model loss — ops/pallas/batchnorm.py bn_train_enabled)
     on = os.environ.get("VIPFORMER_FORCE_PALLAS")
     if on:
-        from vipformer_tpu.ops.pallas import batchnorm
+        from vipformer_tpu.ops.pallas import attention, batchnorm
 
         if on in ("batchnorm", "all"):
             batchnorm.USE_BN_TRAIN = True
+        if on in ("sa_qkv_ln", "all"):
+            attention.USE_SA_QKV_LN = True
     name = sys.argv[1] if len(sys.argv) > 1 else "cls"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     global _TOP

@@ -707,6 +707,48 @@ class SelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, pad_mask=None, deterministic=True):
+        from vipformer_tpu.ops.pallas.attention import (
+            fused_attention_packed_small_qkv_ln,
+            packed_small_qkv_ln_enabled,
+        )
+
+        qk_ch = self.num_qk_channels or x.shape[-1]
+        v_ch = self.num_v_channels or qk_ch
+        if (
+            not self.is_initializing()
+            and qk_ch == v_ch
+            and packed_small_qkv_ln_enabled(
+                self.num_heads, qk_ch, v_ch, x.shape[1], x.shape[-1],
+                pad_mask, self.dropout, deterministic,
+            )
+        ):
+            # eval fast path (same pattern as CrossAttention's kv-fused
+            # branch): pre-LN + q/k/v projections + small-M attention in
+            # one VMEM kernel; the normalized tokens and q/k/v tensors
+            # never exist in HBM (ops/pallas/attention.py
+            # fused_attention_packed_small_qkv_ln). Same params the
+            # module path creates at init; o_proj replicates
+            # nn.layers.Dense numerics exactly.
+            norm = self.get_variable("params", "norm")
+            ap = self.get_variable("params", "attention")
+            xk, wq, wk, wv = nn.dtypes.promote_dtype(
+                x,
+                ap["q_proj"]["kernel"],
+                ap["k_proj"]["kernel"],
+                ap["v_proj"]["kernel"],
+                dtype=self.dtype,
+            )
+            o = fused_attention_packed_small_qkv_ln(
+                xk, norm["scale"], norm["bias"], wq, wk, wv,
+                num_heads=self.num_heads,
+                scale=(qk_ch // self.num_heads) ** -0.5,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return _apply_dense_params(
+                o, ap["o_proj"]["kernel"], ap["o_proj"]["bias"],
+                self.dtype, "row",
+            )
+
         xn = layer_norm(self.dtype, name="norm")(x)
         return MultiHeadAttention(
             num_heads=self.num_heads,

@@ -771,6 +771,12 @@ def fused_attention_packed_small_qkv_ln(
     )
 
 
+# separate opt-in for the LN+qkv-folded SA kernel: None = default OFF
+# until its first on-chip measurement lands (flip to auto after);
+# True/False force. profile_ops' VIPFORMER_FORCE_PALLAS=sa_qkv_ln sets it.
+USE_SA_QKV_LN: bool | None = None
+
+
 def packed_small_qkv_ln_enabled(
     num_heads: int, qk_ch: int, v_ch: int, g: int, d_in: int, pad_mask,
     dropout_rate: float, deterministic: bool,
@@ -778,9 +784,22 @@ def packed_small_qkv_ln_enabled(
     """Eval gate for the LN+qkv-folded small-M SELF-attention kernel:
     the small-M conditions plus lane-aligned raw tokens and equal-width
     q/k/v from the same normalized input (the SelfAttention contract)."""
-    if not packed_small_attention_enabled(
-        num_heads, qk_ch, v_ch, g, g, pad_mask, dropout_rate, deterministic
-    ):
+    if USE_SA_QKV_LN is None or not USE_SA_QKV_LN:
+        return False
+    # structural small-M conditions (the plain small kernel's, minus its
+    # backend/flag logic — USE_SA_QKV_LN already decided engagement, and
+    # CPU callers run the kernel in interpret mode)
+    from vipformer_tpu.ops.pallas.shard import sharding_active
+
+    if sharding_active():
+        # the SelfAttention wiring calls this kernel directly (no
+        # shard_map wrapper yet); meshes keep the existing kernels
+        return False
+    if pad_mask is not None or not deterministic:
+        return False
+    if qk_ch != v_ch or qk_ch % num_heads:
+        return False
+    if g > 512:
         return False
     # folded-LN working set: [BT, G, Din] raw block + qkv + logits
     need = 2 * _SMALL_BT * g * (d_in + 3 * max(qk_ch, 128)) * 2 + (
