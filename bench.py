@@ -451,6 +451,37 @@ def main():
     # batch-flat (~47.6 us/cloud); the chained stream's small-batch edge
     # is pipelined-away fixed dispatch overhead (ROADMAP item 0), and
     # the per-batch MFU sweep below records the whole curve either way
+    if "--partseg" in sys.argv:
+        # targeted partseg eval+train run (endgame docs sync without the
+        # full sweep's compile bill)
+        seg = bench_partseg()
+        print(f"# partseg: {seg}", file=sys.stderr)
+        ps = bench_partseg_train()
+        print(f"# partseg train: {ps}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "metric": "partseg_clouds_per_sec",
+                    "value": round(seg["clouds_per_sec_p50"], 1),
+                    "unit": "clouds/s",
+                    "vs_baseline": round(
+                        ps["vs_tab3_node"], 2
+                    ),
+                    "detail": {
+                        "partseg_p50_per_cloud_ms": round(
+                            seg["p50_per_cloud_ms"], 4
+                        ),
+                        "partseg_train_clouds_per_sec": round(
+                            ps["clouds_per_sec"], 1
+                        ),
+                        "partseg_train_epoch_trainval_s": round(
+                            ps["epoch_trainval_s"], 1
+                        ),
+                    },
+                }
+            )
+        )
+        return
     if "--train" in sys.argv:
         out = bench_train_step()
         print(
