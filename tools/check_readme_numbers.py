@@ -28,10 +28,21 @@ TOL = 0.12  # relative; must exceed the tunnel's ±10% run-to-run variance
 
 
 def latest_bench() -> dict | None:
-    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    if not paths:
+    """Newest bench record by round: the driver's BENCH_r{N}.json, or a
+    builder-measured BENCH_LOCAL_r{N}.json (written by running bench.py
+    by hand right after perf-affecting commits, so the README can be
+    synced to the code that will be driver-benched rather than to the
+    previous round's binaries). Within a round the driver's record wins."""
+    recs = []
+    for path in glob.glob(os.path.join(REPO, "BENCH_*r*.json")):
+        m = re.search(r"BENCH_(LOCAL_)?r(\d+)\.json$", path)
+        if not m:
+            continue
+        recs.append((int(m.group(2)), 0 if m.group(1) else 1, path))
+    if not recs:
         return None
-    with open(paths[-1]) as f:
+    _, _, best = max(recs)
+    with open(best) as f:
         rec = json.load(f)
     return rec.get("parsed")
 
