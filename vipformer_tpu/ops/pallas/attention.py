@@ -771,9 +771,13 @@ def fused_attention_packed_small_qkv_ln(
     )
 
 
-# separate opt-in for the LN+qkv-folded SA kernel: None = default OFF
-# until its first on-chip measurement lands (flip to auto after);
-# True/False force. profile_ops' VIPFORMER_FORCE_PALLAS=sa_qkv_ln sets it.
+# LN+qkv-folded SA kernel: None = auto (on-TPU when the shape fits);
+# True/False force. Measured ON (r5, flagship cls eval, per-op profile):
+# whole forward 24.31 -> 23.13 ms at B=512 (-4.9%); the per-layer
+# LN-stats fusion (354 us), LN-normalize and projection megafusions
+# disappear (convert_reduce family 3.19 -> 0.95 ms/step), outweighing
+# the kernel (371 us/layer) costing 96 us/layer more than the plain
+# attention-only small kernel it replaces.
 USE_SA_QKV_LN: bool | None = None
 
 
@@ -784,7 +788,10 @@ def packed_small_qkv_ln_enabled(
     """Eval gate for the LN+qkv-folded small-M SELF-attention kernel:
     the small-M conditions plus lane-aligned raw tokens and equal-width
     q/k/v from the same normalized input (the SelfAttention contract)."""
-    if USE_SA_QKV_LN is None or not USE_SA_QKV_LN:
+    if USE_SA_QKV_LN is not None:
+        if not USE_SA_QKV_LN:
+            return False
+    elif jax.default_backend() != "tpu":
         return False
     # structural small-M conditions (the plain small kernel's, minus its
     # backend/flag logic — USE_SA_QKV_LN already decided engagement, and
