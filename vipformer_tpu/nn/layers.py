@@ -726,8 +726,8 @@ class SelfAttention(nn.Module):
             not self.is_initializing()
             and qk_ch == v_ch
             and packed_small_qkv_ln_enabled(
-                self.num_heads, qk_ch, v_ch, x.shape[1], x.shape[-1],
-                pad_mask, self.dropout, deterministic,
+                self.num_heads, qk_ch, v_ch, x.shape[0], x.shape[1],
+                x.shape[-1], pad_mask, self.dropout, deterministic,
             )
         ):
             # eval fast path (same pattern as CrossAttention's kv-fused

@@ -771,27 +771,35 @@ def fused_attention_packed_small_qkv_ln(
     )
 
 
-# LN+qkv-folded SA kernel: None = auto (on-TPU when the shape fits);
-# True/False force. Measured ON (r5, flagship cls eval, per-op profile):
-# whole forward 24.31 -> 23.13 ms at B=512 (-4.9%); the per-layer
-# LN-stats fusion (354 us), LN-normalize and projection megafusions
-# disappear (convert_reduce family 3.19 -> 0.95 ms/step), outweighing
-# the kernel (371 us/layer) costing 96 us/layer more than the plain
-# attention-only small kernel it replaces.
+# LN+qkv-folded SA kernel: None = auto (on-TPU at batch >= 128);
+# True/False force. Measured (r5, flagship cls eval): per-op device
+# profile 24.31 -> 23.13 ms at B=512 (-4.9% — the per-layer LN-stats
+# fusion, LN-normalize and projection megafusions disappear,
+# convert_reduce family 3.19 -> 0.95 ms/step, outweighing the kernel
+# costing 96 us/layer over the plain attention-only one), and the
+# chained-stream bench confirms at B>=128: 0.0458/0.0462/0.0477 ->
+# 0.0446/0.0443/0.0456 ms/cloud at 128/256/512. At SMALL batch the
+# kernel is a large LOSS in the stream (B=32: 0.0342 -> 0.0478
+# ms/cloud): consolidating the layer into one custom call defeats the
+# cross-iteration weight-staging overlap that pipelining wins at tiny
+# batch latencies (ROADMAP item 0), so the auto gate requires B >= 128.
 USE_SA_QKV_LN: bool | None = None
 
 
 def packed_small_qkv_ln_enabled(
-    num_heads: int, qk_ch: int, v_ch: int, g: int, d_in: int, pad_mask,
-    dropout_rate: float, deterministic: bool,
+    num_heads: int, qk_ch: int, v_ch: int, b: int, g: int, d_in: int,
+    pad_mask, dropout_rate: float, deterministic: bool,
 ) -> bool:
     """Eval gate for the LN+qkv-folded small-M SELF-attention kernel:
     the small-M conditions plus lane-aligned raw tokens and equal-width
-    q/k/v from the same normalized input (the SelfAttention contract)."""
+    q/k/v from the same normalized input (the SelfAttention contract).
+    `b` is the batch: the auto path engages only at b >= 128 (see
+    USE_SA_QKV_LN note); forcing True bypasses the batch/backend checks
+    but not the structural ones."""
     if USE_SA_QKV_LN is not None:
         if not USE_SA_QKV_LN:
             return False
-    elif jax.default_backend() != "tpu":
+    elif jax.default_backend() != "tpu" or b < 128:
         return False
     # structural small-M conditions (the plain small kernel's, minus its
     # backend/flag logic — USE_SA_QKV_LN already decided engagement, and
